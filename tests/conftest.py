@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from tf_idf_vectorizer_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_smoke():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_correct():
+    return SF_CORRECT

@@ -1,0 +1,41 @@
+"""Tokenization and per-document term frequencies.
+
+The reference crate treats tokenization as external (its harness used the
+sudachi tokenizer — /root/reference/doc-search-test.md:8-9) and ingests a
+``TermFrequency`` map per document (src/vectorizer/term.rs:32-36).  Our
+tokenizer is whitespace splitting — the synthetic web-text corpus is
+space-separated tokens — expressed entirely with built-in functions so it
+stays inside WholeStageCodegen; a pandas-UDF hook exists for pluggable
+real tokenizers.
+
+``term_frequencies`` is the reference's add_doc TF build
+(src/vectorizer/mod.rs:118-181 step 2): one row per (doc, term) with the
+count, which is the row-per-posting layout every downstream operator uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """text -> array<string> of tokens (JVM-side split, empty-safe)."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+    # trim('') splits to [''] — normalize to an empty array
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    return df.withColumn(out_col, toks)
+
+
+def term_frequencies(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (key_col, term string, tf long): the reference TermFrequency map
+    flattened to rows.  Partial (map-side) aggregation is free: Catalyst
+    plans HashAggregate(partial) -> shuffle(key, term) -> HashAggregate.
+    """
+    toks = tokenize(df.select(key_col, text_col), text_col)
+    exploded = toks.select(key_col, F.explode("tokens").alias("term"))
+    return exploded.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
