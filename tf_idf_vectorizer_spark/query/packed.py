@@ -1,0 +1,297 @@
+"""Query path over the packed posting-block index, with block-max WAND.
+
+The reference evaluates queries by walking raw posting ``Vec<u32>``s and
+scoring every candidate (scoring.rs:191-206 + OptimizedDocIter,
+scoring.rs:215-288).  At 10^12 docs that is exactly what we must avoid:
+this module prunes whole compressed blocks with BM25 upper bounds before
+any decode happens, then exact-rescoring the survivors keeps the top-k
+rank-identical to the exact path (verified by tests).
+
+Distributed block-max WAND, three bounded passes:
+
+  1. THETA pass — decode only the rarest query term's highest-bound
+     blocks (a few KB), exact-score those docs; the k-th score is a safe
+     LOWER bound θ on the final k-th score (it is achieved by real docs).
+  2. PRUNE pass — over block METADATA ONLY (parquet column pruning never
+     reads the compressed payloads): a block of term t survives iff
+     ub_block(t) + Σ_{t'≠t} term_ub(t') ≥ θ.  Any doc appearing only in
+     pruned blocks has total score < θ and cannot enter the top-k
+     (proof: its per-term block bounds are each dominated by the pruning
+     inequality of its best term's block).
+  3. RESCORE pass — decode blocks whose doc-id range intersects the
+     surviving candidate set (binary-search check against a broadcast
+     sorted id array — vectorized, no join explosion), exact BM25 via
+     one groupBy(doc_id).sum, then TakeOrderedAndProject top-k.
+
+Upper bound per block (param-free metadata max_tf/min_dl, see
+index_build.py):  ub = ln(idf) * (k1+1)·max_tf / (max_tf + k1·(1-b+b·min_dl/avg_len)),
+clamped to 0 when ln(idf) < 0 (negative-contribution terms can only
+lower scores; 0 stays a valid upper bound).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
+from tf_idf_vectorizer_spark.operators.codec import decode_tfs, decode_varint
+
+_DECODE_SCHEMA = "term_id long, doc_id long, tf long"
+
+
+def _decode_blocks_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        tids, docs, tfs = [], [], []
+        for tid, deltas, tfbuf, n in zip(
+            pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"]
+        ):
+            ids = np.cumsum(decode_varint(bytes(deltas)), dtype=np.uint64)
+            tf = decode_tfs(bytes(tfbuf))
+            tids.append(np.full(n, tid, dtype=np.int64))
+            docs.append(ids.astype(np.int64))
+            tfs.append(tf.astype(np.int64))
+        yield pd.DataFrame(
+            {
+                "term_id": np.concatenate(tids),
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs),
+            }
+        )
+
+
+class PackedIndex:
+    """Reader over the table set written by build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT):
+        self.spark = spark
+        self.dir = index_dir
+        self.config = config
+        with open(f"{index_dir}/meta.json") as fh:
+            self.meta = json.load(fh)
+        self.doc_dict = spark.read.parquet(f"{index_dir}/doc_dict").cache()
+        self.term_dict = spark.read.parquet(f"{index_dir}/term_dict").cache()
+        self.doc_num = self.meta["doc_num"]
+        self.avg_len = self.meta["total_len"] / max(self.doc_num, 1)
+
+    # ------------------------------------------------------------------
+    def _postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/postings")
+
+    def _query_info(self, terms: list[str]) -> list[dict]:
+        """Driver-side lookup of the query terms' dictionary rows (the
+        broadcast 'hot dictionary' — a handful of rows)."""
+        rows = (
+            self.term_dict.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "term_id", "df", "idf")
+            .collect()
+        )
+        return [r.asDict() for r in sorted(rows, key=lambda r: r["term"])]
+
+    def _blocks_for(self, term_ids: list[int]) -> DataFrame:
+        buckets = sorted({tid % self.meta["term_buckets"] for tid in term_ids})
+        return self._postings().filter(
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+        )
+
+    def decode_postings(self, term_ids: list[int]) -> DataFrame:
+        """(term_id, doc_id, tf) rows for the given terms — the exact
+        packed read path (no pruning)."""
+        blocks = self._blocks_for(term_ids).select("term_id", "n", "doc_deltas", "tfs")
+        return blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def _score_decoded(
+        self,
+        decoded: DataFrame,
+        qinfo: list[dict],
+        k1: float,
+        b: float,
+    ) -> DataFrame:
+        """Exact BM25 over decoded (term_id, doc_id, tf) rows -> (doc_id,
+        score, doc_len).  Same expression tree as the exact path
+        (scoring.rs:410-435); tf goes through the config's denorm chain
+        (identity for f32/u32)."""
+        qdf = self.spark.createDataFrame(
+            [(r["term_id"], float(r["idf"])) for r in qinfo],
+            "term_id long, idf double",
+        )
+        joined = decoded.join(F.broadcast(qdf), "term_id").join(
+            self.doc_dict.select("doc_id", "doc_len"), "doc_id"
+        )
+        tfd = F.col("tf").cast("double")
+        denom = tfd + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("doc_len").cast("double") / F.lit(self.avg_len)
+        )
+        partial = F.log(F.col("idf")) * (tfd * F.lit(k1 + 1.0)) / denom
+        return (
+            joined.groupBy("doc_id")
+            .agg(F.sum(partial).alias("score"), F.first("doc_len").alias("doc_len"))
+        )
+
+    def bm25_topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+        mode: str = "wand",
+    ) -> DataFrame:
+        """Top-k BM25 with OR-of-terms candidates (similarity() default
+        semantics, scoring.rs:179-188)."""
+        k1 = self.config.k1 if k1 is None else k1
+        b = self.config.b if b is None else b
+        qinfo = self._query_info(terms)
+        if not qinfo:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+        tids = [r["term_id"] for r in qinfo]
+        if mode == "exact":
+            scored = self._score_decoded(self.decode_postings(tids), qinfo, k1, b)
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._wand_topk(qinfo, k, k1, b)
+
+    # ------------------------------------------------------------------
+    def _block_ub(self, idf_map: dict[int, float], k1: float, b: float):
+        """Column expr: BM25 upper bound of a block from its metadata."""
+        idf_col = F.create_map(
+            *[F.lit(x) for pair in idf_map.items() for x in pair]
+        )[F.col("term_id")]
+        ln_idf = F.log(idf_col)
+        mt = F.col("max_tf").cast("double")
+        denom = mt + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("min_dl").cast("double") / F.lit(self.avg_len)
+        )
+        raw = ln_idf * (mt * F.lit(k1 + 1.0)) / denom
+        return F.when(ln_idf <= 0, F.lit(0.0)).otherwise(raw)
+
+    def _wand_topk(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
+        tids = [r["term_id"] for r in qinfo]
+        idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+        meta_cols = ["term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
+                     "max_tf", "min_dl"]
+        blocks_meta = (
+            self._blocks_for(tids).select(*meta_cols)
+            .withColumn("ub", self._block_ub(idf_map, k1, b))
+            .cache()
+        )
+
+        # per-term upper bound over all its blocks
+        term_ubs = {
+            r["term_id"]: r["ub"]
+            for r in blocks_meta.groupBy("term_id").agg(F.max("ub").alias("ub")).collect()
+        }
+        sum_ub = sum(term_ubs.values())
+
+        # ---- pass 1: θ from the rarest term's best blocks -------------
+        rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
+        seed_blocks = (
+            self._blocks_for([rare["term_id"]])
+            .orderBy(F.desc("max_tf"))
+            .limit(max(4, (4 * k) // self.config.block_size + 1))
+        )
+        seed_docs = (
+            seed_blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
+            .select("doc_id").distinct()
+        )
+        seed_ids = np.sort(
+            np.array([r["doc_id"] for r in seed_docs.collect()], dtype=np.int64)
+        )
+        theta = -math.inf
+        if seed_ids.size:
+            seed_scored = self._score_candidates(seed_ids, tids, qinfo, k1, b)
+            top = (
+                seed_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k).collect()
+            )
+            if len(top) >= k:
+                theta = top[-1]["score"]
+
+        # ---- pass 2: prune blocks by upper bound -----------------------
+        if math.isfinite(theta):
+            surv_cond = None
+            for tid in tids:
+                others = sum_ub - term_ubs.get(tid, 0.0)
+                c = (F.col("term_id") == tid) & (
+                    F.col("ub") + F.lit(others) >= F.lit(theta)
+                )
+                surv_cond = c if surv_cond is None else (surv_cond | c)
+            surviving = blocks_meta.filter(surv_cond)
+        else:
+            surviving = blocks_meta
+
+        surv_keys = surviving.select("term_id", "salt", "block_seq")
+        surv_blocks = self._blocks_for(tids).join(
+            F.broadcast(surv_keys), ["term_id", "salt", "block_seq"], "left_semi"
+        )
+        cand = (
+            surv_blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
+            .select("doc_id").distinct()
+        )
+        cand_ids = np.sort(
+            np.array([r["doc_id"] for r in cand.collect()], dtype=np.int64)
+        )
+        if seed_ids.size:
+            cand_ids = np.union1d(cand_ids, seed_ids)
+        if not cand_ids.size:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+
+        # ---- pass 3: exact rescore of survivors ------------------------
+        scored = self._score_candidates(cand_ids, tids, qinfo, k1, b)
+        blocks_meta.unpersist()
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _score_candidates(
+        self,
+        cand_ids: np.ndarray,
+        tids: list[int],
+        qinfo: list[dict],
+        k1: float,
+        b: float,
+    ) -> DataFrame:
+        """Exact BM25 for a fixed candidate set: decode only blocks whose
+        doc range contains a candidate (searchsorted check on broadcast
+        sorted ids), then filter decoded rows to the candidates."""
+        sc = self.spark.sparkContext
+        bc = sc.broadcast(cand_ids)
+
+        def intersects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lo = np.searchsorted(ids, pdf["min_doc"].to_numpy(), side="left")
+                ok = (lo < ids.size) & (
+                    ids[np.minimum(lo, ids.size - 1)] <= pdf["max_doc"].to_numpy()
+                )
+                yield pdf[ok]
+
+        blocks = self._blocks_for(tids)
+        hit_blocks = blocks.mapInPandas(intersects, schema=blocks.schema)
+
+        def decode_filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids = bc.value
+            for out in _decode_blocks_iter(batches):
+                pos = np.searchsorted(ids, out["doc_id"].to_numpy())
+                keep = (pos < ids.size) & (
+                    ids[np.minimum(pos, ids.size - 1)] == out["doc_id"].to_numpy()
+                )
+                yield out[keep]
+
+        decoded = hit_blocks.select("term_id", "n", "doc_deltas", "tfs").mapInPandas(
+            decode_filtered, schema=_DECODE_SCHEMA
+        )
+        return self._score_decoded(decoded, qinfo, k1, b)
