@@ -45,6 +45,40 @@ def encode_varint(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_varint_blocks(
+    values: np.ndarray, block_starts: np.ndarray
+) -> list[bytes]:
+    """LEB128-encode one array and split the output at block boundaries.
+
+    Encoding the whole Arrow batch at once and slicing per block is what
+    keeps the packer vectorized: one set of numpy passes for millions of
+    postings instead of per-block calls.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= np.uint64(t)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > j
+        out[starts[mask] + j] = chunk.astype(np.uint8) | (
+            cont.astype(np.uint8) << 7
+        )
+    # byte range of each block
+    bstart = starts[block_starts]
+    bend = np.append(bstart[1:], len(out))
+    raw = out.tobytes()
+    return [raw[s:e] for s, e in zip(bstart, bend)]
+
+
 def decode_varint(buf: bytes) -> np.ndarray:
     """Inverse of :func:`encode_varint` -> uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
-from tf_idf_vectorizer_spark.operators.codec import encode_tfs, encode_varint
+from tf_idf_vectorizer_spark.operators.codec import encode_varint_blocks
 from tf_idf_vectorizer_spark.operators.stats import corpus_stats, doc_stats, idf_table
 
 BLOCK_SCHEMA = (
@@ -67,41 +67,42 @@ def _pack_group(
     dls: np.ndarray,
     block_size: int,
 ) -> pd.DataFrame:
-    """Pack sorted (term_id, salt, doc_id) rows into posting blocks."""
-    out: dict[str, list] = {k: [] for k in (
-        "term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
-        "max_tf", "min_dl", "doc_deltas", "tfs",
-    )}
+    """Pack sorted (term_id, salt, doc_id) rows into posting blocks.
+
+    Fully vectorized: group/block boundaries, per-block aggregates
+    (ufunc.reduceat) and the varint streams are all computed in whole-
+    batch numpy passes; the only Python loop slices the encoded buffer
+    into per-block bytes.
+    """
+    n = len(term_ids)
     # group boundaries on (term_id, salt) — input sorted by both
-    change = np.flatnonzero(
-        (np.diff(term_ids) != 0) | (np.diff(salts) != 0)
+    change = np.flatnonzero((np.diff(term_ids) != 0) | (np.diff(salts) != 0))
+    g_starts = np.concatenate(([0], change + 1))
+    g_sizes = np.diff(np.append(g_starts, n))
+    group_of = np.repeat(np.arange(len(g_starts)), g_sizes)
+    off_in_group = np.arange(n, dtype=np.int64) - g_starts[group_of]
+    is_bstart = (off_in_group % block_size) == 0
+    b_starts = np.flatnonzero(is_bstart)
+    b_ends = np.append(b_starts[1:], n)
+
+    deltas = doc_ids.copy()
+    deltas[1:] -= doc_ids[:-1]
+    deltas[b_starts] = doc_ids[b_starts]
+
+    return pd.DataFrame(
+        {
+            "term_id": term_ids[b_starts],
+            "salt": salts[b_starts].astype(np.int32),
+            "block_seq": (off_in_group[b_starts] // block_size).astype(np.int32),
+            "n": (b_ends - b_starts).astype(np.int32),
+            "min_doc": doc_ids[b_starts].astype(np.int64),
+            "max_doc": doc_ids[b_ends - 1].astype(np.int64),
+            "max_tf": np.maximum.reduceat(tfs, b_starts).astype(np.int64),
+            "min_dl": np.minimum.reduceat(dls, b_starts).astype(np.int64),
+            "doc_deltas": encode_varint_blocks(deltas, b_starts),
+            "tfs": encode_varint_blocks(tfs, b_starts),
+        }
     )
-    starts = np.concatenate(([0], change + 1))
-    ends = np.concatenate((change + 1, [len(term_ids)]))
-    for s, e in zip(starts, ends):
-        g_docs = doc_ids[s:e]
-        g_tfs = tfs[s:e]
-        g_dls = dls[s:e]
-        tid = int(term_ids[s])
-        salt = int(salts[s])
-        for bi, off in enumerate(range(0, e - s, block_size)):
-            b_docs = g_docs[off : off + block_size]
-            b_tfs = g_tfs[off : off + block_size]
-            b_dls = g_dls[off : off + block_size]
-            deltas = np.empty(len(b_docs), dtype=np.uint64)
-            deltas[0] = b_docs[0]
-            np.subtract(b_docs[1:], b_docs[:-1], out=deltas[1:])
-            out["term_id"].append(tid)
-            out["salt"].append(salt)
-            out["block_seq"].append(bi)
-            out["n"].append(len(b_docs))
-            out["min_doc"].append(int(b_docs[0]))
-            out["max_doc"].append(int(b_docs[-1]))
-            out["max_tf"].append(int(b_tfs.max()))
-            out["min_dl"].append(int(b_dls.min()))
-            out["doc_deltas"].append(encode_varint(deltas))
-            out["tfs"].append(encode_tfs(b_tfs))
-    return pd.DataFrame(out)
 
 
 def _make_packer(block_size: int):
@@ -166,7 +167,8 @@ def build_index(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
-    doc_num = docs.count()
+    # one pass over the input for both scalars
+    doc_num, max_id = docs.agg(F.count("*"), F.max(key_col)).first()
     tf = term_frequencies(docs, key_col, text_col).withColumnRenamed(
         key_col, "doc_id"
     )
@@ -179,14 +181,16 @@ def build_index(
         F.xxhash64("term").alias("term_id"), "term", "df", "idf"
     )
     term_dict.cache()
-    n_terms = term_dict.count()
-    if term_dict.select("term_id").distinct().count() != n_terms:
+    n_terms, n_ids = term_dict.agg(
+        F.count("*"), F.countDistinct("term_id")
+    ).first()
+    if n_ids != n_terms:
         # astronomically unlikely; re-mint with a salt to stay correct
         term_dict = idf.select(
             F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
         )
 
-    dstats = doc_stats(tf, idf, "doc_id", precision)
+    dstats = doc_stats(tf, idf, "doc_id", precision).cache()
     doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm")]
     doc_dict = dstats.select(*doc_cols)
     if url_col:
@@ -195,7 +199,6 @@ def build_index(
         )
     total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
 
-    max_id = docs.agg(F.max(key_col)).first()[0]
     salt_range = max(1, (int(max_id) + config.n_salts) // config.n_salts)
 
     # ---- postings rows with salt + bucket -----------------------------
@@ -236,13 +239,24 @@ def build_index(
     )
 
     # ---- writes --------------------------------------------------------
-    writer = packed.write.partitionBy("salt", "bucket")
+    # re-shuffle compressed blocks by the layout key so each
+    # salt=/bucket= directory gets exactly ONE file (file-count hygiene:
+    # query-time listing cost stays O(dirs), not O(tasks × dirs))
+    writer = (
+        packed.repartition("salt", "bucket")
+        .write.partitionBy("salt", "bucket")
+    )
     if resume and done_salts:
         writer.mode("append").parquet(f"{out_dir}/postings")
     else:
         writer.mode("overwrite").parquet(f"{out_dir}/postings")
-    doc_dict.write.mode("overwrite").parquet(f"{out_dir}/doc_dict")
-    term_dict.write.mode("overwrite").parquet(f"{out_dir}/term_dict")
+    doc_dict.coalesce(max(1, shuffle_parts // 4)).write.mode("overwrite").parquet(
+        f"{out_dir}/doc_dict"
+    )
+    term_dict.coalesce(max(1, shuffle_parts // 8)).write.mode("overwrite").parquet(
+        f"{out_dir}/term_dict"
+    )
+    dstats.unpersist()
 
     mrows = (
         lineage.withColumn("phase", F.lit("postings"))

@@ -81,14 +81,32 @@ class PackedIndex:
         self.term_dict = spark.read.parquet(f"{index_dir}/term_dict").cache()
         self.doc_num = self.meta["doc_num"]
         self.avg_len = self.meta["total_len"] / max(self.doc_num, 1)
+        # one relation reused by every query: file listing happens once,
+        # per-query filters still prune partitions (bucket=) and row
+        # groups (term_id min/max) at scan time
+        self._postings_df = spark.read.parquet(f"{index_dir}/postings")
 
     # ------------------------------------------------------------------
     def _postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/postings")
+        return self._postings_df
+
+    # vocab small enough to pin on the driver -> zero-job term lookup;
+    # above this, each query pays one tiny dictionary-scan job instead
+    DRIVER_DICT_MAX_TERMS = 2_000_000
 
     def _query_info(self, terms: list[str]) -> list[dict]:
-        """Driver-side lookup of the query terms' dictionary rows (the
-        broadcast 'hot dictionary' — a handful of rows)."""
+        """Lookup of the query terms' dictionary rows (the broadcast
+        'hot dictionary' — a handful of rows per query)."""
+        if self.meta.get("n_terms", 1 << 62) <= self.DRIVER_DICT_MAX_TERMS:
+            if not hasattr(self, "_term_map"):
+                self._term_map = {
+                    r["term"]: r.asDict()
+                    for r in self.term_dict.select(
+                        "term", "term_id", "df", "idf"
+                    ).collect()
+                }
+            found = [self._term_map[t] for t in set(terms) if t in self._term_map]
+            return sorted(found, key=lambda r: r["term"])
         rows = (
             self.term_dict.filter(F.col("term").isin(list(set(terms))))
             .select("term", "term_id", "df", "idf")
@@ -138,16 +156,26 @@ class PackedIndex:
             .agg(F.sum(partial).alias("score"), F.first("doc_len").alias("doc_len"))
         )
 
+    # below this many posting entries, a single-pass exact decode+score
+    # (1 Spark job) beats WAND's 3 passes; WAND pays off when the posting
+    # volume is large — the 10^12-doc regime the index is designed for
+    WAND_THRESHOLD = 5_000_000
+
     def bm25_topk(
         self,
         terms: list[str],
         k: int = 10,
         k1: float | None = None,
         b: float | None = None,
-        mode: str = "wand",
+        mode: str = "auto",
     ) -> DataFrame:
         """Top-k BM25 with OR-of-terms candidates (similarity() default
-        semantics, scoring.rs:179-188)."""
+        semantics, scoring.rs:179-188).
+
+        mode='auto' dispatches on Σ df(t) (already known from the
+        dictionary lookup — no extra job): small posting volume -> exact
+        single pass; large -> block-max WAND.  Both are rank-identical.
+        """
         k1 = self.config.k1 if k1 is None else k1
         b = self.config.b if b is None else b
         qinfo = self._query_info(terms)
@@ -156,9 +184,14 @@ class PackedIndex:
                 [], "doc_id long, score double, doc_len long"
             )
         tids = [r["term_id"] for r in qinfo]
+        if mode == "auto":
+            volume = sum(r["df"] for r in qinfo)
+            mode = "exact" if volume < self.WAND_THRESHOLD else "wand"
         if mode == "exact":
             scored = self._score_decoded(self.decode_postings(tids), qinfo, k1, b)
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if mode != "wand":
+            raise ValueError(f"mode must be auto|exact|wand, got {mode!r}")
         return self._wand_topk(qinfo, k, k1, b)
 
     # ------------------------------------------------------------------
