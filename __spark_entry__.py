@@ -16,6 +16,8 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,9 +27,41 @@ from tf_idf_vectorizer_spark.functions import termfreq as TFops
 from tf_idf_vectorizer_spark.operators import corpus_ops
 from tf_idf_vectorizer_spark.operators.stats import corpus_stats
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
+from tf_idf_vectorizer_spark.pipeline import dedup, multimodal, textqc
+from tf_idf_vectorizer_spark.pipeline.similarity import (
+    cosine_expr,
+    sign_bucket_expr,
+)
 from tf_idf_vectorizer_spark.query.ast import parse_sexpr
 from tf_idf_vectorizer_spark.query.exact import ExactSearcher
 from tf_idf_vectorizer_spark.sources import load_documents
+
+
+def _rewrite_round6(sql: str) -> str:
+    """round(X, 6) -> floor((X)*1e6 + 0.5e0)/1e6 in oracle SQL (see _r6)."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        k = j + 5
+        for k in range(j + 5, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        inner = sql[j + 6 : k]
+        m = re.search(r",\s*6\s*$", inner)
+        arg = inner[: m.start()] if m else inner
+        out.append(f"floor(({arg}) * 1e6 + 0.5e0) / 1e6")
+        i = k + 1
+    return "".join(out)
 
 # ---------------------------------------------------------------------------
 # shared state (per sf_dir searcher cache)
@@ -46,9 +80,20 @@ def _searcher(spark: SparkSession, sf_dir: str) -> ExactSearcher:
     return _SEARCHERS[key]
 
 
+def _r6(col) -> "F.Column":
+    """6-dp rounding as floor(x*1e6 + 0.5)/1e6 — unlike round(), this is
+    pure IEEE double arithmetic, so Spark and DuckDB produce bit-equal
+    results even when a value lands exactly on a rounding boundary
+    (Spark's round() is BigDecimal HALF_UP on the shortest decimal
+    representation; DuckDB's rounds the raw double — they disagree on
+    exact .xxxxxx5 values)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def _round_topk(hits: DataFrame, k: int, key: str = "doc_id") -> DataFrame:
     """Round score to 6dp and order/limit deterministically (gate rule)."""
-    out = hits.withColumn("score", F.round(F.col("score"), 6))
+    out = hits.withColumn("score", _r6("score"))
     return out.orderBy(F.desc("score"), F.asc(key)).limit(k)
 
 
@@ -177,7 +222,7 @@ def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     return s.doc_stats.select(
-        "doc_id", "doc_len", F.round(F.col("norm"), 6).alias("norm")
+        "doc_id", "doc_len", _r6(F.col("norm")).alias("norm")
     )
 
 
@@ -231,13 +276,13 @@ def q_most_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unique_term_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     out = TFops.unique_term_ratio(s.tf.filter(F.col("doc_id") < 100))
-    return out.select("doc_id", F.round("ratio", 6).alias("ratio"))
+    return out.select("doc_id", _r6("ratio").alias("ratio"))
 
 
 def q_probability_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     out = TFops.probability_vector(s.tf.filter(F.col("doc_id") < 20))
-    return out.select("doc_id", "term", F.round("p", 6).alias("p"))
+    return out.select("doc_id", "term", _r6("p").alias("p"))
 
 
 def q_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,6 +303,131 @@ def q_merge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.merge_corpus(a, b)
 
 
+# ---------------------------------------------------------------------------
+# pipeline operators: dedup / ANN / text QC / multimodal
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_documents(spark, sf_dir))
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_first(load_documents(spark, sf_dir))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return dedup.minhash_signatures(docs, n_hashes=4)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return dedup.lsh_candidate_pairs(docs, n_bands=2, rows_per_band=2)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 60)
+    out = dedup.jaccard_pairs(docs, threshold=0.0)
+    return out.select(
+        "doc_a", "doc_b", _r6("jaccard").alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return dedup.simhash16(docs)
+
+
+def _ann_scored(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if bucketed:
+        emb = emb.withColumn("bucket", sign_bucket_expr("embedding", 8))
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        *([F.col("bucket").alias("qbucket")] if bucketed else []),
+    )
+    if bucketed:
+        pairs = F.broadcast(q).join(emb, F.col("qbucket") == F.col("bucket"))
+    else:
+        pairs = F.broadcast(q).crossJoin(emb.select("vec_id", "embedding"))
+    scored = pairs.filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr("qv", "embedding"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+        .drop("rn")
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_scored(spark, sf_dir, bucketed=False)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_scored(spark, sf_dir, bucketed=True)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.5)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.token_counts(load_documents(spark, sf_dir))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textqc.quality_scores(load_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r6("stop_ratio").alias("stop_ratio"),
+        _r6("mean_tok_len").alias("mean_tok_len"),
+        _r6("quality").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textqc.lang_id(load_documents(spark, sf_dir))
+    return out.select("doc_id", "pred_lang", _r6("stop_ratio").alias("stop_ratio"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.doc_fingerprints(load_documents(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (media decode is the deterministic fake; the
+    Spark plumbing — binary cols, mapInPandas batches — is what runs)."""
+    media = multimodal.attach_fake_media(load_documents(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select("doc_id", "media_type", F.size("features").alias("dim"))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (duration comes from xxhash64, not in DuckDB)."""
+    media = multimodal.attach_fake_media(load_documents(spark, sf_dir))
+    return multimodal.frame_sample_plan(media, every_ms=10000)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -267,7 +437,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _r6(F.sum("value")).alias("sum_value"),
         )
     )
 
@@ -305,10 +475,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_corpus": q_delta_corpus,
         "merge_corpus": q_merge_corpus,
         "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash16": q_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    return {k: _rewrite_round6(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     lang_tf = lambda lang: (  # noqa: E731
         f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ("
         f"SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
@@ -392,4 +581,184 @@ SELECT term, sum(df)::BIGINT AS df FROM u GROUP BY term""",
 SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        **_pipeline_oracle_sql(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL for the pipeline operators (generated — repetitive shapes)
+# ---------------------------------------------------------------------------
+
+def _tok_cte(where: str = "") -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        r"unnest(regexp_split_to_array(trim(text), '\s+')) AS term "
+        f"FROM documents WHERE trim(text) <> '' {where}), "
+        "terms AS (SELECT DISTINCT doc_id, term FROM tok)"
+    )
+
+
+def _sig_exprs(n: int) -> str:
+    return ", ".join(
+        f"min(md5(term || '#{i}')) AS sig_{i}" for i in range(n)
+    )
+
+
+def _ann_sql(bucketed: bool) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    bucket_expr = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    base = f"""
+WITH e AS (SELECT vec_id, embedding, ({bucket_expr})::INT AS bucket FROM embeddings),
+ex AS (SELECT vec_id, bucket, unnest(embedding) AS val,
+              generate_subscripts(embedding, 1) AS pos FROM e),
+n AS (SELECT vec_id, sqrt(sum((val::DOUBLE) * (val::DOUBLE))) AS nrm
+      FROM ex GROUP BY vec_id),
+qx AS (SELECT * FROM ex WHERE vec_id IN ({ids})),
+dots AS (
+    SELECT q.vec_id AS query_id, x.vec_id AS vec_id, sum((q.val::DOUBLE) * (x.val::DOUBLE)) AS dot
+    FROM qx q JOIN ex x ON q.pos = x.pos {"AND q.bucket = x.bucket" if bucketed else ""}
+    WHERE q.vec_id <> x.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.vec_id,
+           round(d.dot / (nq.nrm * nx.nrm), 6) AS cosine
+    FROM dots d
+    JOIN n nq ON nq.vec_id = d.query_id
+    JOIN n nx ON nx.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {ANN_K}
+"""
+    return base
+
+
+def _pipeline_oracle_sql() -> dict[str, str]:
+    simhash_votes = ", ".join(
+        "sum(CASE WHEN substring(h, {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}".format(
+            p=j + 1, j=j
+        )
+        for j in range(16)
+    )
+    simhash_bits = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dedup_keep_first": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+        "minhash_signatures": _tok_cte("AND doc_id < 100")
+        + f" SELECT doc_id, {_sig_exprs(4)} FROM terms GROUP BY doc_id",
+        "lsh_candidate_pairs": _tok_cte("AND doc_id < 60")
+        + f""",
+sigs AS (SELECT doc_id, {_sig_exprs(4)} FROM terms GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bhash FROM sigs
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(sig_2 || '|' || sig_3) AS bhash FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id""",
+        "jaccard_pairs": _tok_cte("AND doc_id < 60")
+        + """,
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM terms GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+    FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b,
+           round(c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5::DOUBLE""",
+        "simhash16": _tok_cte("AND doc_id < 100")
+        + f""",
+hashed AS (SELECT doc_id, md5(term) AS h FROM terms),
+votes AS (SELECT doc_id, {simhash_votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes""",
+        "ann_bruteforce": _ann_sql(False),
+        "ann_lsh": _ann_sql(True),
+        "embedding_near_dup": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+ex AS (SELECT vec_id, unnest(embedding) AS val,
+              generate_subscripts(embedding, 1) AS pos FROM e),
+n AS (SELECT vec_id, sqrt(sum((val::DOUBLE) * (val::DOUBLE))) AS nrm
+      FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sum((a.val::DOUBLE) * (b.val::DOUBLE)) AS dot
+    FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5::DOUBLE""",
+        "token_counts": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::INT AS n_tokens,
+       length(text)::INT AS n_chars_seen
+FROM documents""",
+        "quality_scores": _tok_cte()
+        + """,
+agg AS (
+    SELECT doc_id, count(*)::INT AS n_tokens,
+           sum(CASE WHEN term IN ('the','of','and','to','a','in','is','it')
+               THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+           sum(length(term))::BIGINT AS tok_len_sum
+    FROM tok GROUP BY doc_id
+),
+m AS (
+    SELECT doc_id, n_tokens,
+           n_stop::DOUBLE / n_tokens::DOUBLE AS stop_ratio,
+           tok_len_sum::DOUBLE / n_tokens::DOUBLE AS mean_tok_len
+    FROM agg
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(0.4::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+             + 0.3::DOUBLE * (1.0::DOUBLE - stop_ratio)
+             + 0.3::DOUBLE * least(mean_tok_len / 8.0::DOUBLE, 1.0::DOUBLE),
+             6) AS quality
+FROM m""",
+        "lang_id": _tok_cte()
+        + """,
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN term IN ('the','of','and','to','a','in','is','it')
+               THEN 1 ELSE 0 END)::BIGINT AS n_stop
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN n_stop::DOUBLE / n_tokens::DOUBLE > 0.05::DOUBLE
+            THEN 'en' ELSE 'unk' END AS pred_lang,
+       round(n_stop::DOUBLE / n_tokens::DOUBLE, 6) AS stop_ratio
+FROM agg""",
+        "doc_fingerprints": _tok_cte()
+        + """
+SELECT t.doc_id,
+       min(md5(t.term)) AS fp_min,
+       count(DISTINCT t.term)::BIGINT AS n_distinct,
+       md5(d.text) AS text_hash
+FROM tok t JOIN documents d USING(doc_id)
+GROUP BY t.doc_id, d.text""",
     }

@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path
+buckets vectors by sign-pattern LSH (random-hyperplane family, realized
+portably as the sign bits of the first ``n_bits`` dimensions) so each
+query probes one bucket instead of the full corpus.
+
+All arithmetic is JVM-side higher-order functions (zip_with + aggregate
+over the arrays) — no Python in the distance kernel; Catalyst keeps the
+whole pipeline in codegen.  At cluster scale the query side is a
+broadcast (queries are few), the corpus side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbours for the given query ids (self
+    excluded).  -> (query_id, vec_id, cosine) — rank by (cosine desc,
+    vec_id asc) via one window per query, k rows each."""
+    q = (
+        emb.filter(F.col(key_col).isin(query_ids))
+        .select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    pairs = F.broadcast(q).crossJoin(emb.select(key_col, vec_col))
+    scored = pairs.filter(F.col("query_id") != F.col(key_col)).select(
+        "query_id", key_col, cosine_expr("qv", vec_col).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sign_bucket_expr(vec_col: str | Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket id: bit i set iff vec[i] > 0."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    acc = F.lit(0)
+    for i in range(n_bits):
+        acc = acc + F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    sign-pattern bucket.  Same output shape as brute_force_topk.  At
+    scale the corpus is written bucketed by this id, so a query reads
+    one partition (candidate set ~ corpus/2^n_bits)."""
+    bucketed = emb.withColumn("bucket", sign_bucket_expr(vec_col, n_bits))
+    q = (
+        bucketed.filter(F.col(key_col).isin(query_ids))
+        .select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    pairs = F.broadcast(q).join(
+        bucketed, F.col("qbucket") == F.col("bucket")
+    )
+    scored = pairs.filter(F.col("query_id") != F.col(key_col)).select(
+        "query_id", key_col, cosine_expr("qv", vec_col).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
