@@ -27,7 +27,7 @@ def built(spark, sf_smoke, tmp_path_factory):
 def _decoded_postings(spark, out, cfg):
     idx = PackedIndex(spark, out, cfg)
     tids = [r["term_id"] for r in idx.term_dict.select("term_id").collect()]
-    return idx, idx.decode_postings(tids)
+    return idx, idx.decode_postings(tids).select("term_id", "doc_id", "tf")
 
 
 def test_roundtrip_equals_tf(spark, built):

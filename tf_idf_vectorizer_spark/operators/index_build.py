@@ -57,6 +57,9 @@ BLOCK_SCHEMA = (
     "term_id long, salt int, block_seq int, n int, min_doc long, "
     "max_doc long, max_tf long, min_dl long, doc_deltas binary, tfs binary"
 )
+# postings carry an MVCC generation: a doc's live rows are those whose
+# gen matches its doc_dict row (overwrites bump the gen; stale rows are
+# dropped by the scoring join and reclaimed at compaction)
 
 
 def _pack_group(
@@ -191,7 +194,7 @@ def build_index(
         )
 
     dstats = doc_stats(tf, idf, "doc_id", precision).cache()
-    doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm")]
+    doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm"), F.lit(0).alias("gen")]
     doc_dict = dstats.select(*doc_cols)
     if url_col:
         doc_dict = doc_dict.join(
@@ -231,6 +234,7 @@ def build_index(
         .withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.term_buckets)).cast("int")
         )
+        .withColumn("gen", F.lit(0))
     )
 
     lineage = rows.groupBy("salt").agg(
@@ -276,6 +280,7 @@ def build_index(
         "term_buckets": int(config.term_buckets),
         "block_size": int(config.block_size),
         "precision": precision,
+        "generation": 0,
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
     }

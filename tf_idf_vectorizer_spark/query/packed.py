@@ -43,27 +43,29 @@ from pyspark.sql import functions as F
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.operators.codec import decode_tfs, decode_varint
 
-_DECODE_SCHEMA = "term_id long, doc_id long, tf long"
+_DECODE_SCHEMA = "term_id long, doc_id long, tf long, gen int"
 
 
 def _decode_blocks_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
             continue
-        tids, docs, tfs = [], [], []
-        for tid, deltas, tfbuf, n in zip(
-            pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"]
+        tids, docs, tfs, gens = [], [], [], []
+        for tid, deltas, tfbuf, n, gen in zip(
+            pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"], pdf["gen"]
         ):
             ids = np.cumsum(decode_varint(bytes(deltas)), dtype=np.uint64)
             tf = decode_tfs(bytes(tfbuf))
             tids.append(np.full(n, tid, dtype=np.int64))
             docs.append(ids.astype(np.int64))
             tfs.append(tf.astype(np.int64))
+            gens.append(np.full(n, gen, dtype=np.int32))
         yield pd.DataFrame(
             {
                 "term_id": np.concatenate(tids),
                 "doc_id": np.concatenate(docs),
                 "tf": np.concatenate(tfs),
+                "gen": np.concatenate(gens),
             }
         )
 
@@ -80,7 +82,11 @@ class PackedIndex:
         self.doc_dict = spark.read.parquet(f"{index_dir}/doc_dict").cache()
         self.term_dict = spark.read.parquet(f"{index_dir}/term_dict").cache()
         self.doc_num = self.meta["doc_num"]
-        self.avg_len = self.meta["total_len"] / max(self.doc_num, 1)
+        # avg_len over all docs at query time (scoring.rs:415); an empty
+        # corpus has no scorable docs, so any positive placeholder works
+        self.avg_len = (
+            self.meta["total_len"] / self.doc_num if self.doc_num > 0 else 1.0
+        )
         # one relation reused by every query: file listing happens once,
         # per-query filters still prune partitions (bucket=) and row
         # groups (term_id min/max) at scan time
@@ -123,7 +129,7 @@ class PackedIndex:
     def decode_postings(self, term_ids: list[int]) -> DataFrame:
         """(term_id, doc_id, tf) rows for the given terms — the exact
         packed read path (no pruning)."""
-        blocks = self._blocks_for(term_ids).select("term_id", "n", "doc_deltas", "tfs")
+        blocks = self._blocks_for(term_ids).select("term_id", "n", "doc_deltas", "tfs", "gen")
         return blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
 
     # ------------------------------------------------------------------
@@ -142,8 +148,12 @@ class PackedIndex:
             [(r["term_id"], float(r["idf"])) for r in qinfo],
             "term_id long, idf double",
         )
+        dd_cols = ["doc_id", "doc_len"] + (
+            ["gen"] if "gen" in self.doc_dict.columns else []
+        )
+        join_keys = ["doc_id"] + (["gen"] if "gen" in dd_cols else [])
         joined = decoded.join(F.broadcast(qdf), "term_id").join(
-            self.doc_dict.select("doc_id", "doc_len"), "doc_id"
+            self.doc_dict.select(*dd_cols), join_keys
         )
         tfd = F.col("tf").cast("double")
         denom = tfd + F.lit(k1) * (
@@ -179,7 +189,7 @@ class PackedIndex:
         k1 = self.config.k1 if k1 is None else k1
         b = self.config.b if b is None else b
         qinfo = self._query_info(terms)
-        if not qinfo:
+        if not qinfo or self.doc_num == 0:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, doc_len long"
             )
@@ -324,7 +334,7 @@ class PackedIndex:
                 )
                 yield out[keep]
 
-        decoded = hit_blocks.select("term_id", "n", "doc_deltas", "tfs").mapInPandas(
-            decode_filtered, schema=_DECODE_SCHEMA
-        )
+        decoded = hit_blocks.select(
+            "term_id", "n", "doc_deltas", "tfs", "gen"
+        ).mapInPandas(decode_filtered, schema=_DECODE_SCHEMA)
         return self._score_decoded(decoded, qinfo, k1, b)

@@ -1,0 +1,337 @@
+"""Incremental index maintenance: the reference's add_doc / del_doc /
+merge semantics re-expressed as micro-batch deltas.
+
+Reference behavior (/root/reference/src/vectorizer/mod.rs):
+  add_doc   118-181: register vocab, build TF vector, append postings,
+            corpus add/sub deltas
+  del_doc   227-259: remove doc, strip postings, corpus sub_set
+  merge     311-338: union dictionaries, remap ids, re-add docs
+
+Spark idiom (SURVEY.md §1.3): per-doc O(1) mutation is replaced by
+APPEND-oriented micro-batches with MVCC generations (the Iceberg
+sequence-number idiom):
+
+  * every posting block and every doc_dict row carries ``gen``; a doc's
+    live posting rows are those whose gen MATCHES its doc_dict row —
+    the scoring join on (doc_id, gen) drops stale rows for free;
+  * adds/overwrites write new blocks at the batch's generation and
+    upsert doc_dict (overwrite = same id, higher gen — old rows become
+    unreachable, no in-place rewrite: the reference's sorted-merge
+    posting patch at mod.rs:183-225 disappears);
+  * deletes remove the doc_dict row; per-term DF corrections
+    (Corpus::sub_set, corpus/mod.rs:70-85) are computed by decoding only
+    blocks whose doc-range intersects the delete set;
+  * term_dict df/idf is rewritten from the deltas, and doc_num/total_len
+    are updated in meta — the reference's lazy IDF-cache invalidation
+    (mod.rs:95-107) becomes an eager tiny-table rewrite;
+  * ``compact()`` reclaims stale bytes: decode live rows, re-pack at
+    gen 0 — the periodic two-phase merge (Iceberg table maintenance).
+
+Table rewrites go through a temp dir + atomic-ish swap, never through a
+driver collect — the same flow works when doc_dict has 10^12 rows.
+
+Invariant (tested): applying any delta stream then querying ==
+building fresh from the final corpus state.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
+from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
+from tf_idf_vectorizer_spark.operators.index_build import BLOCK_SCHEMA, _make_packer
+from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_iter
+
+_DECODED = "term_id long, doc_id long, tf long, gen int"
+
+
+def _swap_write(df: DataFrame, path: str, parts: int) -> None:
+    """Write a replacement table via temp dir + swap (no driver
+    materialization; readers of the old files finish their scans)."""
+    tmp = path + "_new"
+    df.coalesce(parts).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    # drop any cached plans pinned to this path — without this a new
+    # spark.read.parquet(path) can silently serve the PRE-swap bytes
+    # from the cache manager (plans match by path)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+class IncrementalIndex:
+    """Mutable wrapper around a packed index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT):
+        self.spark = spark
+        self.dir = index_dir
+        self.config = config
+
+    def _meta(self) -> dict:
+        with open(f"{self.dir}/meta.json") as fh:
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        with open(f"{self.dir}/meta.json", "w") as fh:
+            json.dump(meta, fh, indent=2)
+
+    # ------------------------------------------------------------------
+    def apply_batch(
+        self,
+        adds: DataFrame | None = None,
+        delete_ids: list[int] | None = None,
+        key_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> dict:
+        """Apply one micro-batch.  An added id that already exists is an
+        overwrite (old generation's rows become unreachable)."""
+        spark = self.spark
+        meta = self._meta()
+        gen = int(meta.get("generation", 0)) + 1
+        delete_ids = sorted(set(delete_ids or []))
+        doc_dict = spark.read.parquet(f"{self.dir}/doc_dict")
+        term_dict = spark.read.parquet(f"{self.dir}/term_dict")
+
+        dead_ids = set(delete_ids)
+        if adds is not None:
+            adds = adds.select(
+                F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).cache()
+            dead_ids |= {
+                r[0]
+                for r in doc_dict.join(adds, "doc_id", "left_semi")
+                .select("doc_id")
+                .collect()
+            }
+        dead_ids = sorted(dead_ids)
+
+        # ---- DF corrections for dying rows (Corpus::sub_set) ------------
+        df_sub = None
+        if dead_ids:
+            dying = doc_dict.join(
+                spark.createDataFrame([(i,) for i in dead_ids], "doc_id long"),
+                "doc_id",
+                "left_semi",
+            ).cache()
+            n_dead, dead_len = dying.agg(
+                F.count("*"), F.sum("doc_len")
+            ).first()
+            ids = np.array(dead_ids, dtype=np.int64)
+            bc = spark.sparkContext.broadcast(ids)
+            blocks = spark.read.parquet(f"{self.dir}/postings")
+
+            def intersects(batches):
+                v = bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    lo = np.searchsorted(v, pdf["min_doc"].to_numpy())
+                    ok = (lo < v.size) & (
+                        v[np.minimum(lo, v.size - 1)] <= pdf["max_doc"].to_numpy()
+                    )
+                    yield pdf[ok]
+
+            hit = blocks.mapInPandas(intersects, schema=blocks.schema)
+            decoded = hit.select(
+                "term_id", "n", "doc_deltas", "tfs", "gen"
+            ).mapInPandas(_decode_blocks_iter, schema=_DECODED)
+            # only the CURRENT generation rows of currently-live docs
+            # count toward DF (stale rows were already subtracted when
+            # their generation died)
+            dead_rows = decoded.join(
+                dying.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
+            )
+            df_sub = dead_rows.groupBy("term_id").agg(F.count("*").alias("df_sub"))
+            meta["doc_num"] -= int(n_dead or 0)
+            meta["total_len"] -= int(dead_len or 0)
+            doc_dict = doc_dict.join(
+                spark.createDataFrame([(i,) for i in dead_ids], "doc_id long"),
+                "doc_id",
+                "left_anti",
+            )
+
+        # ---- adds (add_doc) ----------------------------------------------
+        df_add = None
+        if adds is not None and adds.count() > 0:
+            tf = term_frequencies(adds, "doc_id", "text").cache()
+            new_doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+            n_added, added_len = new_doc_stats.agg(
+                F.count("*"), F.sum("doc_len")
+            ).first()
+            meta["doc_num"] += int(n_added or 0)
+            meta["total_len"] += int(added_len or 0)
+
+            tf_ids = tf.select(
+                F.xxhash64("term").alias("term_id"), "term", "doc_id", "tf"
+            )
+            salt_range = meta["salt_range"]
+            rows = tf_ids.join(new_doc_stats, "doc_id").select(
+                "term_id",
+                (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
+                "doc_id",
+                "tf",
+                "doc_len",
+            )
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            packed = (
+                rows.repartition(shuffle_parts, "term_id", "salt")
+                .sortWithinPartitions("term_id", "salt", "doc_id")
+                .mapInPandas(_make_packer(self.config.block_size), schema=BLOCK_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.col("term_id"), F.lit(meta["term_buckets"])).cast("int"),
+                )
+                .withColumn("gen", F.lit(gen))
+            )
+            packed.repartition("salt", "bucket").write.partitionBy(
+                "salt", "bucket"
+            ).mode("append").parquet(f"{self.dir}/postings")
+            spark.catalog.refreshByPath(f"{self.dir}/postings")
+
+            df_add = tf_ids.groupBy("term_id", "term").agg(
+                F.count("*").alias("df_add")
+            )
+            doc_dict = doc_dict.unionByName(
+                new_doc_stats.select(
+                    "doc_id",
+                    "doc_len",
+                    F.lit(0.0).alias("norm"),  # cosine norms stale by design
+                    F.lit(gen).alias("gen"),
+                )
+            )
+
+        # ---- stats rewrite (the IDF invalidation) -------------------------
+        new_stats = term_dict.select("term_id", "term", "df")
+        if df_sub is not None:
+            new_stats = (
+                new_stats.join(df_sub, "term_id", "left")
+                .fillna({"df_sub": 0})
+                .select(
+                    "term_id", "term", (F.col("df") - F.col("df_sub")).alias("df")
+                )
+            )
+        if df_add is not None:
+            adds_stats = df_add.select(
+                "term_id", F.col("term").alias("new_term"), "df_add"
+            )
+            new_stats = (
+                new_stats.join(adds_stats, "term_id", "full_outer")
+                .select(
+                    "term_id",
+                    F.coalesce("term", "new_term").alias("term"),
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("df_add"), F.lit(0))
+                    ).alias("df"),
+                )
+            )
+        new_stats = new_stats.filter(F.col("df") > 0)
+        precision = meta.get("precision", "f32")
+        dt = "float" if precision == "f32" else "double"
+        new_term_dict = new_stats.select(
+            "term_id",
+            "term",
+            "df",
+            (F.lit(float(meta["doc_num"])) / (F.col("df") + F.lit(1.0)))
+            .cast(dt)
+            .alias("idf"),
+        )
+
+        meta["generation"] = gen
+        # term_dict first (smaller); then doc_dict; then meta
+        _swap_write(new_term_dict, f"{self.dir}/term_dict", 2)
+        _swap_write(doc_dict.select("doc_id", "doc_len", "norm", "gen"),
+                    f"{self.dir}/doc_dict", 4)
+        meta["n_terms"] = int(
+            spark.read.parquet(f"{self.dir}/term_dict").count()
+        )
+        self._write_meta(meta)
+        return meta
+
+    # ------------------------------------------------------------------
+    def compact(self) -> None:
+        """Reclaim stale posting rows: decode, keep (doc_id, gen) pairs
+        that match doc_dict, re-pack everything at generation 0."""
+        spark = self.spark
+        meta = self._meta()
+        idx = PackedIndex(spark, self.dir, self.config)
+        tids = [r["term_id"] for r in idx.term_dict.select("term_id").collect()]
+        decoded = idx.decode_postings(tids)
+        live = decoded.join(
+            idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
+        )
+        salt_range = meta["salt_range"]
+        rows = live.select(
+            "term_id",
+            (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
+            "doc_id",
+            "tf",
+            "doc_len",
+        )
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        packed = (
+            rows.repartition(shuffle_parts, "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .mapInPandas(_make_packer(self.config.block_size), schema=BLOCK_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.col("term_id"), F.lit(meta["term_buckets"])).cast("int"),
+            )
+            .withColumn("gen", F.lit(0))
+        )
+        tmp = f"{self.dir}/postings_new"
+        packed.repartition("salt", "bucket").write.partitionBy("salt", "bucket").mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(f"{self.dir}/postings")
+        shutil.move(tmp, f"{self.dir}/postings")
+        spark.catalog.refreshByPath(f"{self.dir}/postings")
+        _swap_write(
+            idx.doc_dict.select("doc_id", "doc_len", "norm", F.lit(0).alias("gen")),
+            f"{self.dir}/doc_dict",
+            4,
+        )
+        meta["generation"] = 0
+        self._write_meta(meta)
+
+
+def stream_updates(
+    spark: SparkSession,
+    index_dir: str,
+    delta_stream: DataFrame,
+    config: EngineConfig = DEFAULT,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming ingestion surface: a stream of
+    (seq, op, doc_id, text) rows applied per micro-batch via
+    foreachBatch (FIXTURES.md §4 delta shape; op in add|overwrite|delete).
+    Returns the StreamingQuery; caller awaits termination."""
+    inc = IncrementalIndex(spark, index_dir, config)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.orderBy("seq").collect()
+        if not rows:
+            return
+        deletes = [r["doc_id"] for r in rows if r["op"] == "delete"]
+        upserts = {}
+        for r in rows:
+            if r["op"] in ("add", "overwrite"):
+                upserts[r["doc_id"]] = r["text"]
+        adds = (
+            spark.createDataFrame(
+                list(upserts.items()), "doc_id long, text string"
+            )
+            if upserts
+            else None
+        )
+        inc.apply_batch(adds=adds, delete_ids=deletes)
+
+    writer = delta_stream.writeStream.foreachBatch(apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
