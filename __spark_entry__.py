@@ -270,7 +270,8 @@ def _bool_q(expr: str):
 
 def q_most_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
-    return TFops.most_frequent_terms(s.tf.filter(F.col("doc_id") < 50))
+    out = TFops.most_frequent_terms(s.tf.filter(F.col("doc_id") < 50))
+    return out.select("doc_id", "term", "tf")
 
 
 def q_unique_term_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +302,57 @@ def q_merge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "en")))
     b = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "zh")))
     return corpus_ops.merge_corpus(a, b)
+
+
+# ---------------------------------------------------------------------------
+# packed-index path (posting blocks + WAND) under the gate
+# ---------------------------------------------------------------------------
+
+_PACKED: dict[str, "object"] = {}
+
+
+def _packed_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a packed posting-block index in f64 gate
+    precision and return a PackedIndex over it."""
+    if sf_dir not in _PACKED:
+        import tempfile
+
+        from tf_idf_vectorizer_spark.config import EngineConfig
+        from tf_idf_vectorizer_spark.operators.index_build import build_index
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex
+
+        cfg = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+        out = tempfile.mkdtemp(prefix="gate_idx_") + "/idx"
+        build_index(
+            spark, load_documents(spark, sf_dir), out, config=cfg, precision="f64"
+        )
+        _PACKED[sf_dir] = PackedIndex(spark, out, cfg)
+    return _PACKED[sf_dir]
+
+
+def q_bm25_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result contract as bm25_topk but through the packed index:
+    codec round-trip + block layout + scoring join under the gate."""
+    idx = _packed_index(spark, sf_dir)
+    hits = idx.bm25_topk(BM25_TERMS, k=1_000_000, mode="exact")
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
+
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced block-max WAND path under the gate (same oracle)."""
+    idx = _packed_index(spark, sf_dir)
+    # over-fetch then re-rank on ROUNDED scores so the gate's LIMIT-K row
+    # set matches the oracle even when raw scores differ by an ulp
+    hits = idx.bm25_topk(BM25_TERMS, k=K + 200, mode="wand")
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
+
+
+def q_bm25_packed_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean search over the packed index (AND filter)."""
+    idx = _packed_index(spark, sf_dir)
+    q = parse_sexpr('(and "spark" "join")')
+    hits = idx.bm25_search(q, k=K + 200)
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_corpus": q_delta_corpus,
         "merge_corpus": q_merge_corpus,
         "events_hourly": q_events_hourly,
+        "bm25_packed_topk": q_bm25_packed,
+        "bm25_wand_topk": q_bm25_wand,
+        "bm25_packed_bool": q_bm25_packed_bool,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash,
@@ -523,6 +578,16 @@ FROM dl JOIN norms USING(doc_id)""",
         "bm25_topk": _bm25_sql(BM25_TERMS, K),
         "bm25_head_term": _bm25_sql(["the"], K),
         "bm25_bool_search": _bm25_sql(
+            ["spark", "join"],
+            K,
+            filter_sql=(
+                "SELECT doc_id FROM tf WHERE term IN ('spark','join') "
+                "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
+            ),
+        ),
+        "bm25_packed_topk": _bm25_sql(BM25_TERMS, K),
+        "bm25_wand_topk": _bm25_sql(BM25_TERMS, K),
+        "bm25_packed_bool": _bm25_sql(
             ["spark", "join"],
             K,
             filter_sql=(

@@ -44,7 +44,11 @@ def idf_table(df_stats: DataFrame, doc_num: int, precision: str = "f32") -> Data
 
 
 def doc_stats(
-    tf: DataFrame, idf: DataFrame, key_col: str = "doc_id", precision: str = "f32"
+    tf: DataFrame,
+    idf: DataFrame,
+    key_col: str = "doc_id",
+    precision: str = "f32",
+    eff_col: str | None = None,
 ) -> DataFrame:
     """Per-document stats: length and tf-idf L2 norm.
 
@@ -60,7 +64,9 @@ def doc_stats(
     """
     dt = "float" if precision == "f32" else "double"
     weighted = tf.join(idf.select("term", "idf"), "term")
-    w = F.col("tf").cast(dt) * F.col("idf").cast(dt)
+    # doc_len sums RAW counts (term_sum, term.rs:53-73); the norm weights
+    # the quantize-denormalized tf when a lossy engine is configured
+    w = F.col(eff_col or "tf").cast(dt) * F.col("idf").cast(dt)
     return weighted.groupBy(key_col).agg(
         F.sum("tf").alias("doc_len"),
         F.sqrt(F.sum((w * w).cast("double"))).alias("norm"),

@@ -68,13 +68,32 @@ class ExactSearcher:
         self.all_docs = docs.select(key_col)
         self.doc_num = docs.count()
         self.tf = term_frequencies(docs, key_col, text_col)
+        # quantized engines (f16 default in the reference, mod.rs:50):
+        # scoring sees the denormalized tf (quantize -> denorm chain,
+        # tfidf.rs:61-213) while doc_len keeps RAW counts (term_sum
+        # accumulates unquantized counts, term.rs:53-73).  Arrow-
+        # vectorized; identity for f32 so no UDF in the default path.
+        if config.dtype != "f32":
+            import pandas as pd
+            from pyspark.sql.types import LongType
+
+            cfg = config
+            _rt = F.pandas_udf(
+                lambda s: pd.Series(cfg.roundtrip_tf(s.to_numpy())), LongType()
+            )
+            self.tf = self.tf.withColumn("tf_eff", _rt(F.col("tf")))
+        else:
+            self.tf = self.tf.withColumn("tf_eff", F.col("tf"))
         if cache:
             self.tf = self.tf.cache()
         self.df_stats = corpus_stats(self.tf, key_col)
         self.idf = idf_table(self.df_stats, self.doc_num, precision)
         if cache:
             self.idf = self.idf.cache()
-        self.doc_stats = doc_stats(self.tf, self.idf, key_col, precision)
+        self.doc_stats = doc_stats(
+            self.tf, self.idf, key_col, precision,
+            eff_col="tf_eff" if config.dtype != "f32" else None,
+        )
         if cache:
             self.doc_stats = self.doc_stats.cache()
         # avg doc length over ALL docs at query time (scoring.rs:415);
@@ -114,7 +133,7 @@ class ExactSearcher:
 
     # --- scorers ---------------------------------------------------------
     def _score_partials(self, algo: str, qtab: DataFrame, k1: float, b: float):
-        tfd = F.col("tf").cast("double")  # f32/u32 engines: denorm == count
+        tfd = F.col("tf_eff").cast("double")  # denormalized tf (tfidf.rs:88-91)
         if algo == "dot":
             return (
                 F.col("qtf").cast("double")

@@ -205,6 +205,74 @@ class PackedIndex:
         return self._wand_topk(qinfo, k, k1, b)
 
     # ------------------------------------------------------------------
+    def bm25_search(
+        self,
+        query: "Query",
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> DataFrame:
+        """Boolean search over the packed index: candidates from the AST
+        (evaluated as doc-id set ops over decoded postings + doc_dict),
+        scored with the query's full leaf-term vector — the reference's
+        search() (scoring.rs:191-206; candidates may score 0.0, e.g.
+        under Not).  Rank-identical to ExactSearcher.search('bm25', ...)."""
+        from tf_idf_vectorizer_spark.query.ast import Query  # noqa: F401
+
+        k1 = self.config.k1 if k1 is None else k1
+        b = self.config.b if b is None else b
+        terms = list(query.all_terms().keys())
+        qinfo = self._query_info(terms)
+        cand = self._eval_ast(query)
+        if self.doc_num == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+        if qinfo:
+            scored = self._score_decoded(
+                self.decode_postings([r["term_id"] for r in qinfo]), qinfo, k1, b
+            )
+        else:
+            scored = self.spark.createDataFrame([], "doc_id long, score double, doc_len long")
+        hits = (
+            cand.join(scored.select("doc_id", "score"), "doc_id", "left")
+            .fillna({"score": 0.0})
+            .join(self.doc_dict.select("doc_id", "doc_len"), "doc_id", "left")
+            .fillna({"doc_len": 0})
+        )
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _term_docs(self, term: str) -> DataFrame:
+        info = self._query_info([term])
+        if not info:
+            return self.doc_dict.select("doc_id").limit(0)
+        decoded = self.decode_postings([info[0]["term_id"]])
+        # liveness: only current-generation rows count
+        keys = ["doc_id"] + (["gen"] if "gen" in self.doc_dict.columns else [])
+        live = decoded.join(self.doc_dict.select(*keys), keys, "left_semi")
+        return live.select("doc_id").distinct()
+
+    def _eval_ast(self, q: "Query") -> DataFrame:
+        """query.rs:110-205 as DataFrame set ops over the packed index."""
+        from functools import reduce
+
+        all_docs = self.doc_dict.select("doc_id")
+        if q.op == "none":
+            return all_docs.limit(0)
+        if q.op == "all":
+            return all_docs
+        if q.op == "term":
+            return self._term_docs(q.term_)
+        if q.op == "not":
+            return all_docs.join(self._eval_ast(q.children[0]), "doc_id", "left_anti")
+        kids = [self._eval_ast(c) for c in q.children]
+        if q.op == "and":
+            return reduce(lambda a, b: a.join(b, "doc_id", "left_semi"), kids)
+        if q.op == "or":
+            return reduce(DataFrame.unionByName, kids).distinct()
+        raise ValueError(q.op)
+
+    # ------------------------------------------------------------------
     def _block_ub(self, idf_map: dict[int, float], k1: float, b: float):
         """Column expr: BM25 upper bound of a block from its metadata."""
         idf_col = F.create_map(
