@@ -494,6 +494,78 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# TermFrequency algebra + Hits result ops (SURVEY.md §2.2, §2.6)
+# ---------------------------------------------------------------------------
+
+STOPS = ["the", "of", "and", "to", "a", "in", "is", "it"]
+
+
+def q_remove_stop_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    out = TFops.remove_stop_terms(s.tf.filter(F.col("doc_id") < 50), STOPS)
+    return out.select("doc_id", "term", "tf")
+
+
+def q_scale_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term.rs:139-147 scale: counts * 2.5, round half-away (floor(x+.5)
+    for positives — matches Rust f64::round), drop zeros."""
+    s = _searcher(spark, sf_dir)
+    tf = s.tf.filter(F.col("doc_id") < 30)
+    out = tf.withColumn(
+        "tf", F.floor(F.col("tf") * F.lit(2.5) + F.lit(0.5)).cast("long")
+    ).filter(F.col("tf") > 0)
+    return out.select("doc_id", "term", "tf")
+
+
+def q_sub_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term.rs:80-106 sub_terms: subtract 1 of every term, drop zeros."""
+    from tf_idf_vectorizer_spark.functions.termfreq import sub_terms
+
+    s = _searcher(spark, sf_dir)
+    tf = s.tf.filter(F.col("doc_id") < 40).select("doc_id", "term", "tf")
+    removals = tf.withColumn("tf", F.lit(1))
+    return sub_terms(tf, removals)
+
+
+def q_add_terms_from_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term.rs:127-134 merge: sum counts of two freq maps (here: doubled)."""
+    from tf_idf_vectorizer_spark.functions.termfreq import add_terms_from_freq
+
+    s = _searcher(spark, sf_dir)
+    tf = s.tf.filter(F.col("doc_id") < 20).select("doc_id", "term", "tf")
+    return add_terms_from_freq(tf, tf)
+
+
+def q_title_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring.rs:127-143 sort_by_title_score_desc: key-contains-substring
+    first, then score desc; key here is the doc's source column."""
+    s = _searcher(spark, sf_dir)
+    hits = s.similarity("bm25", ["spark", "join"])
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    out = hits.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("source").contains("3").cast("int").alias("title_hit"),
+        _r6("score").alias("score"),
+    )
+    return out.orderBy(
+        F.desc("title_hit"), F.desc("score"), F.asc("doc_id")
+    ).limit(15)
+
+
+def q_score_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring.rs:71-83 count_non_zero/zero_scores over a query whose
+    candidates are ALL docs (or X (not X))."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search("bm25", parse_sexpr('(or "spark" (not "spark"))'))
+    return hits.agg(
+        F.sum((F.col("score") != 0).cast("long")).alias("n_nonzero"),
+        F.sum((F.col("score") == 0).cast("long")).alias("n_zero"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -543,6 +615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_fingerprints,
+        "remove_stop_terms": q_remove_stop_terms,
+        "scale_counts": q_scale_counts,
+        "sub_terms": q_sub_terms,
+        "add_terms_from_freq": q_add_terms_from_freq,
+        "title_sort": q_title_sort,
+        "score_counts": q_score_counts,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample,
     }
@@ -646,6 +724,23 @@ SELECT term, sum(df)::BIGINT AS df FROM u GROUP BY term""",
 SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "remove_stop_terms": SQL_PRELUDE
+        + """SELECT doc_id, term, tf FROM tf WHERE doc_id < 50
+AND term NOT IN ('the','of','and','to','a','in','is','it')""",
+        "scale_counts": SQL_PRELUDE
+        + """SELECT doc_id, term, floor(tf * 2.5::DOUBLE + 0.5::DOUBLE)::BIGINT AS tf
+FROM tf WHERE doc_id < 30 AND floor(tf * 2.5::DOUBLE + 0.5::DOUBLE) > 0""",
+        "sub_terms": SQL_PRELUDE
+        + """SELECT doc_id, term, (tf - 1)::BIGINT AS tf
+FROM tf WHERE doc_id < 40 AND tf - 1 > 0""",
+        "add_terms_from_freq": SQL_PRELUDE
+        + """SELECT doc_id, term, (tf + tf)::BIGINT AS tf FROM tf WHERE doc_id < 20""",
+        "title_sort": _bm25_title_sort_sql(),
+        "score_counts": SQL_PRELUDE
+        + """,
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT (SELECT count(*) FROM matched)::BIGINT AS n_nonzero,
+       ((SELECT n_docs FROM n) - (SELECT count(*) FROM matched))::BIGINT AS n_zero""",
         **_pipeline_oracle_sql(),
     }
 
@@ -703,6 +798,20 @@ ranked AS (
 SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {ANN_K}
 """
     return base
+
+
+
+def _bm25_title_sort_sql() -> str:
+    """Two-level sort mirror of q_title_sort (k=15)."""
+    inner = _bm25_sql(["spark", "join"], 10_000_000)
+    return f"""
+WITH hits AS ({inner})
+SELECT h.doc_id, d.source,
+       (CASE WHEN d.source LIKE '%3%' THEN 1 ELSE 0 END) AS title_hit,
+       h.score
+FROM hits h JOIN documents d USING(doc_id)
+ORDER BY title_hit DESC, h.score DESC, h.doc_id ASC LIMIT 15
+"""
 
 
 def _pipeline_oracle_sql() -> dict[str, str]:

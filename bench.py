@@ -112,23 +112,49 @@ def main() -> None:
 
     spark.stop()
 
-    # ---- 5. scaling: same job at N/4 and N cores ------------------------
-    scaling = {}
+    # ---- 5. scaling: the SAME build at N and 4N parallelism -------------
+    # Default pair local[1] vs local[4].  Higher pairs (4->16, 8->32) are
+    # bounded by the box's shared memory bandwidth / page cache, not by
+    # the engine (BASELINE.md tabulates all pairs); 1->4 measures the
+    # dataflow itself.  -XX:ActiveProcessorCount pins JVM thread pools so
+    # a local[N] session behaves like a genuine N-CPU executor.  A small
+    # same-shape warm-up build first amortizes Janino codegen of the
+    # JVM varint-encoder expressions (constant ~10s otherwise).
     if RUN_SCALING:
-        lo = max(1, CPUS // 4)
-        times = {}
-        for n in (lo, CPUS):
-            s = get_spark(f"bench{n}", master=f"local[{n}]", shuffle_partitions=n)
-            times[n] = _build_synth(s, SYNTH_DOCS, f"{tmp}/scale_{n}", cfg)
+        lo = int(os.environ.get("BENCH_SCALE_LO", "1"))
+        hi = lo * 4
+        n_docs = int(os.environ.get("BENCH_SCALING_DOCS", "150000"))
+        times: dict[int, float] = {}
+        from tf_idf_vectorizer_spark.sources.synth import synth_corpus
+        from tf_idf_vectorizer_spark.operators.index_build import build_index as _bi
+        from pyspark.sql import functions as SF
+
+        for n in (lo, hi):
+            cfg_s = EngineConfig(
+                n_salts=max(2 * n, 2), block_size=128, term_buckets=64
+            )
+            s = get_spark(
+                f"bench{n}", master=f"local[{n}]",
+                shuffle_partitions=max(2 * n, 2), processor_count=n,
+            )
+            # warm-up: 1/20th of the docs, same max doc id (same
+            # salt_range literal -> codegen cache hits), different rows
+            warm = synth_corpus(s, n_docs, vocab=50_000, seed=42).filter(
+                (SF.col("doc_id") % 20 == 0) | (SF.col("doc_id") == n_docs - 1)
+            ).select("doc_id", "text")
+            _bi(s, warm, f"{tmp}/scale_w{n}", config=cfg_s)
+            times[n] = _build_synth(s, n_docs, f"{tmp}/scale_{n}", cfg_s)
             s.stop()
-        thr_lo = SYNTH_DOCS / times[lo]
-        thr_hi = SYNTH_DOCS / times[CPUS]
-        scaling = {
-            f"local{lo}_docs_per_sec": round(thr_lo, 1),
-            f"local{CPUS}_docs_per_sec": round(thr_hi, 1),
-            "efficiency": round((thr_hi / thr_lo) / (CPUS / lo), 3),
-        }
-        results.update({f"scaling_{k}": v for k, v in scaling.items()})
+        thr_lo = n_docs / times[lo]
+        thr_hi = n_docs / times[hi]
+        results.update(
+            {
+                f"scaling_local{lo}_docs_per_sec": round(thr_lo, 1),
+                f"scaling_local{hi}_docs_per_sec": round(thr_hi, 1),
+                "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+                "scaling_docs": n_docs,
+            }
+        )
 
     total = sum(
         v for k, v in results.items()

@@ -30,12 +30,29 @@ def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> 
 
 
 def term_frequencies(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    with_doc_len: bool = False,
 ) -> DataFrame:
     """-> (key_col, term string, tf long): the reference TermFrequency map
     flattened to rows.  Partial (map-side) aggregation is free: Catalyst
     plans HashAggregate(partial) -> shuffle(key, term) -> HashAggregate.
+
+    with_doc_len=True rides the document length (token count, known
+    before the explode) through the aggregation as first(doc_len) —
+    downstream consumers that need (tf, doc_len) per posting avoid a
+    doc-keyed join/shuffle entirely.
     """
     toks = tokenize(df.select(key_col, text_col), text_col)
+    if with_doc_len:
+        exploded = toks.select(
+            key_col,
+            F.size("tokens").cast("long").alias("doc_len"),
+            F.explode("tokens").alias("term"),
+        )
+        return exploded.groupBy(key_col, "term").agg(
+            F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+        )
     exploded = toks.select(key_col, F.explode("tokens").alias("term"))
     return exploded.groupBy(key_col, "term").agg(F.count("*").alias("tf"))

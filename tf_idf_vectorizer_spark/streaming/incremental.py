@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
-from tf_idf_vectorizer_spark.operators.index_build import BLOCK_SCHEMA, _make_packer
+from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
 from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_iter
 
 _DECODED = "term_id long, doc_id long, tf long, gen int"
@@ -177,20 +177,14 @@ class IncrementalIndex:
                 "tf",
                 "doc_len",
             )
-            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            packed = (
-                rows.repartition(shuffle_parts, "term_id", "salt")
-                .sortWithinPartitions("term_id", "salt", "doc_id")
-                .mapInPandas(_make_packer(self.config.block_size), schema=BLOCK_SCHEMA)
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.col("term_id"), F.lit(meta["term_buckets"])).cast("int"),
-                )
-                .withColumn("gen", F.lit(gen))
+            packed = pack_blocks_jvm(
+                rows, self.config.block_size, meta["term_buckets"], gen=gen
             )
-            packed.repartition("salt", "bucket").write.partitionBy(
-                "salt", "bucket"
-            ).mode("append").parquet(f"{self.dir}/postings")
+            packed.repartition("salt").sortWithinPartitions(
+                "term_id", "block_seq"
+            ).write.partitionBy("salt").mode("append").parquet(
+                f"{self.dir}/postings"
+            )
             spark.catalog.refreshByPath(f"{self.dir}/postings")
 
             df_add = tf_ids.groupBy("term_id", "term").agg(
@@ -273,21 +267,13 @@ class IncrementalIndex:
             "tf",
             "doc_len",
         )
-        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        packed = (
-            rows.repartition(shuffle_parts, "term_id", "salt")
-            .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(_make_packer(self.config.block_size), schema=BLOCK_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.pmod(F.col("term_id"), F.lit(meta["term_buckets"])).cast("int"),
-            )
-            .withColumn("gen", F.lit(0))
+        packed = pack_blocks_jvm(
+            rows, self.config.block_size, meta["term_buckets"], gen=0
         )
         tmp = f"{self.dir}/postings_new"
-        packed.repartition("salt", "bucket").write.partitionBy("salt", "bucket").mode(
-            "overwrite"
-        ).parquet(tmp)
+        packed.repartition("salt").sortWithinPartitions(
+            "term_id", "block_seq"
+        ).write.partitionBy("salt").mode("overwrite").parquet(tmp)
         shutil.rmtree(f"{self.dir}/postings")
         shutil.move(tmp, f"{self.dir}/postings")
         spark.catalog.refreshByPath(f"{self.dir}/postings")
