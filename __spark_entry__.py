@@ -128,11 +128,17 @@ avgdl AS (
 _EPS = "2.220446049250313e-16"
 
 
-def _bm25_sql(terms: list[str], k: int, filter_sql: str | None = None) -> str:
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    filter_sql: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
     """BM25 over candidates; default candidates = docs w/ >=1 query term.
 
     Mirrors query/exact.py exactly: per-term partial
-    (ln(idf) * (tf*(k1+1))) / (tf + k1*(0.25 + (0.75*doc_len)/avg_len)).
+    (ln(idf) * (tf*(k1+1))) / (tf + k1*((1-b) + (b*doc_len)/avg_len)).
     """
     tl = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
     cand = filter_sql or f"SELECT DISTINCT doc_id FROM tf WHERE term IN ({tl})"
@@ -140,9 +146,9 @@ def _bm25_sql(terms: list[str], k: int, filter_sql: str | None = None) -> str:
 cand AS ({cand}),
 partials AS (
     SELECT tf.doc_id,
-           sum((ln(idf) * (tf * 2.2::DOUBLE))
-               / (tf + 1.2::DOUBLE * (0.25::DOUBLE
-                   + (0.75::DOUBLE * dl.doc_len) / (SELECT avg_len FROM avgdl)))
+           sum((ln(idf) * (tf * {k1 + 1.0!r}::DOUBLE))
+               / (tf + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE
+                   + ({b!r}::DOUBLE * dl.doc_len) / (SELECT avg_len FROM avgdl)))
            ) AS raw
     FROM tf JOIN idf USING(term) JOIN dl USING(doc_id)
     WHERE term IN ({tl})
@@ -229,6 +235,24 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     return _round_topk(s.similarity("bm25", BM25_TERMS), K)
+
+
+def q_bm25_custom_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query k1/b (scoring.rs:32 takes them per call)."""
+    s = _searcher(spark, sf_dir)
+    return _round_topk(s.similarity("bm25", BM25_TERMS, k1=0.5, b=0.2), K)
+
+
+def q_bm25_external_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus separation (set_corpus_ref, mod.rs:89-92): score the
+    lang='en' sub-collection with the FULL corpus's DF/IDF stats."""
+    full = _searcher(spark, sf_dir)
+    docs_en = load_documents(spark, sf_dir).filter(F.col("lang") == "en")
+    s_en = ExactSearcher(
+        spark, docs_en, key_col="doc_id", precision="f64", cache=False
+    )
+    swapped = s_en.with_external_stats(full.df_stats, full.doc_num)
+    return _round_topk(swapped.similarity("bm25", BM25_TERMS), K)
 
 
 def q_bm25_head_term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_head_term": q_bm25_head_term,
+        "bm25_custom_params": q_bm25_custom_params,
+        "bm25_external_corpus": q_bm25_external_corpus,
         "bm25_bool_search": q_bm25_bool_search,
         "dot_topk": q_dot_topk,
         "cosine_topk": q_cosine_topk,
@@ -655,6 +681,40 @@ SELECT dl.doc_id, dl.doc_len, round(norms.norm, 6) AS norm
 FROM dl JOIN norms USING(doc_id)""",
         "bm25_topk": _bm25_sql(BM25_TERMS, K),
         "bm25_head_term": _bm25_sql(["the"], K),
+        "bm25_custom_params": _bm25_sql(BM25_TERMS, K, k1=0.5, b=0.2),
+        "bm25_external_corpus": """
+WITH tok_en AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents WHERE trim(text) <> '' AND lang = 'en'
+),
+tf_en AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_en GROUP BY 1, 2),
+dl_en AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf_en GROUP BY 1),
+n_en AS (SELECT count(*)::BIGINT AS n FROM documents WHERE lang = 'en'),
+avg_en AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n_en) AS avg_len FROM dl_en),
+tok_full AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+tf_full AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_full GROUP BY 1, 2),
+idf AS (
+    SELECT term, CAST((SELECT count(*) FROM documents) AS DOUBLE) / (count(*) + 1) AS idf
+    FROM tf_full GROUP BY term
+),
+cand AS (SELECT DISTINCT doc_id FROM tf_en WHERE term IN ('spark','join','query')),
+partials AS (
+    SELECT t.doc_id,
+           sum((ln(idf) * (t.tf * 2.2::DOUBLE))
+               / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE
+                   + (0.75::DOUBLE * d.doc_len) / (SELECT avg_len FROM avg_en)))) AS raw
+    FROM tf_en t JOIN idf USING(term) JOIN dl_en d USING(doc_id)
+    WHERE term IN ('spark','join','query')
+    GROUP BY t.doc_id
+)
+SELECT c.doc_id, round(coalesce(p.raw, 0.0), 6) AS score,
+       coalesce(d.doc_len, 0)::BIGINT AS doc_len
+FROM cand c LEFT JOIN partials p USING(doc_id) LEFT JOIN dl_en d USING(doc_id)
+ORDER BY score DESC, c.doc_id ASC LIMIT 20
+""",
         "bm25_bool_search": _bm25_sql(
             ["spark", "join"],
             K,

@@ -101,6 +101,23 @@ class ExactSearcher:
         total_len = self.doc_stats.agg(F.sum("doc_len")).first()[0] or 0
         self.avg_len = float(total_len) / max(self.doc_num, 1)
 
+    def with_external_stats(self, df_stats: DataFrame, doc_num: int) -> "ExactSearcher":
+        """Score THIS searcher's documents with ANOTHER corpus's DF/IDF
+        stats — the reference's corpus separation (`set_corpus_ref`,
+        mod.rs:89-92; README.md:15 'コーパス情報の分離').  Doc-side tf /
+        doc_len / avg_len stay local; idf (and its df) come from the
+        external stats table; the IDF cache is 'invalidated' by simply
+        rebuilding the derived frames."""
+        import copy
+
+        other = copy.copy(self)
+        other.idf = idf_table(df_stats, doc_num, self.precision)
+        other.doc_stats = doc_stats(
+            self.tf, other.idf, self.key, self.precision,
+            eff_col="tf_eff" if self.config.dtype != "f32" else None,
+        )
+        return other
+
     # --- boolean candidate sets (query.rs:110-215) ----------------------
     def candidates(self, q: Query) -> DataFrame:
         k = self.key
