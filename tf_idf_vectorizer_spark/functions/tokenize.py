@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = r"\s+"
 
 
+def tokenize_udf(tokenizer=None):
+    """Pluggable tokenizer as an Arrow-vectorized pandas UDF — the slot
+    where a real tokenizer (sudachi in the reference's harness,
+    doc-search-test.md:8-9) goes.  Default: whitespace split, identical
+    output to the built-in `tokenize` (tested).
+
+    Returns a column function: df.withColumn("tokens", tok(F.col("text"))).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    fn = tokenizer or (lambda s: s.split())
+
+    # no type hints: pandas_udf tries to resolve stringified annotations
+    # (PEP 563) and rejects them; pass the return type explicitly
+    def kernel(texts):
+        return texts.map(lambda t: fn(t) if t is not None else [])
+
+    return F.pandas_udf(kernel, ArrayType(StringType()))
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
     """text -> array<string> of tokens (JVM-side split, empty-safe)."""
     toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
