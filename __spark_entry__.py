@@ -371,6 +371,22 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
 
 
+BATCH_QUERIES = {0: ["spark", "join"], 1: ["the"], 2: ["merge", "query"]}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query top-k in one job (window per query_id)."""
+    from pyspark.sql import Window
+
+    idx = _packed_index(spark, sf_dir)
+    raw = idx.bm25_topk_batch(BATCH_QUERIES, k=K + 200)
+    out = raw.select("query_id", "doc_id", _r6("score").alias("score"), "doc_len")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K
+    ).drop("rn")
+
+
 def q_bm25_packed_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean search over the packed index (AND filter)."""
     idx = _packed_index(spark, sf_dir)
@@ -628,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_topk": q_bm25_packed,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_packed_bool": q_bm25_packed_bool,
+        "bm25_batch": q_bm25_batch,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash,
@@ -725,6 +742,31 @@ ORDER BY score DESC, c.doc_id ASC LIMIT 20
         ),
         "bm25_packed_topk": _bm25_sql(BM25_TERMS, K),
         "bm25_wand_topk": _bm25_sql(BM25_TERMS, K),
+        "bm25_batch": SQL_PRELUDE
+        + """,
+q(query_id, term) AS (
+    SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'the'),
+                          (2, 'merge'), (2, 'query'))
+),
+partials AS (
+    SELECT q.query_id, tf.doc_id,
+           sum((ln(idf) * (tf * 2.2::DOUBLE))
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+                   + (0.75::DOUBLE * dl.doc_len) / (SELECT avg_len FROM avgdl)))
+           ) AS raw
+    FROM tf JOIN q USING(term) JOIN idf USING(term) JOIN dl USING(doc_id)
+    GROUP BY q.query_id, tf.doc_id
+),
+scored AS (
+    SELECT query_id, doc_id, round(raw, 6) AS score FROM partials
+),
+ranked AS (
+    SELECT s.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored s
+)
+SELECT r.query_id, r.doc_id, r.score, dl.doc_len
+FROM ranked r JOIN dl USING(doc_id) WHERE rn <= 20""",
         "bm25_packed_bool": _bm25_sql(
             ["spark", "join"],
             K,

@@ -103,6 +103,19 @@ def main() -> None:
     idx.bm25_topk(QUERY_MIX[2][1], k=10, mode="wand").collect()
     results["q_wand_forced"] = round(time.time() - t0, 3)
 
+    # batch mode: 200 queries in ONE job — the per-query scheduling
+    # floor amortizes (this is how a serving tier should call the engine)
+    batch = {
+        i: [f"t{1 + (i * 37) % 50_000}", f"t{1 + (i * 101) % 50_000}"]
+        for i in range(200)
+    }
+    t0 = time.time()
+    n_rows = idx.bm25_topk_batch(batch, k=10).count()
+    dt = time.time() - t0
+    results["batch_200q_sec"] = round(dt, 3)
+    results["batch_qps"] = round(200 / dt, 1)
+    results["batch_rows"] = n_rows
+
     # ---- 4. exact-path scorer latency on sf docs -----------------------
     searcher = ExactSearcher(spark, docs)
     for algo in ["bm25", "cosine", "dot"]:

@@ -402,6 +402,7 @@ def build_index(
         "term_buckets": int(config.term_buckets),
         "block_size": int(config.block_size),
         "precision": precision,
+        "norms": bool(norms),
         "generation": 0,
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),

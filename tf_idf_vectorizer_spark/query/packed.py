@@ -205,6 +205,136 @@ class PackedIndex:
         return self._wand_topk(qinfo, k, k1, b)
 
     # ------------------------------------------------------------------
+    def similarity(
+        self,
+        algo: str,
+        terms,
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> DataFrame:
+        """All four reference scorers over the packed index
+        (contains/dot/cosine/bm25 — scoring.rs:17-33), OR-of-terms
+        candidates.  cosine requires an index built with norms=True."""
+        from collections import Counter
+
+        if not isinstance(terms, Counter):
+            terms = Counter(terms)
+        if algo == "bm25":
+            return self.bm25_topk(list(terms.keys()), k=k, k1=k1, b=b)
+        qinfo = self._query_info(list(terms.keys()))
+        if not qinfo or self.doc_num == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+        tids = [r["term_id"] for r in qinfo]
+        decoded = self.decode_postings(tids)
+        keys = ["doc_id"] + (["gen"] if "gen" in self.doc_dict.columns else [])
+        if algo == "contains":
+            live = decoded.join(self.doc_dict.select(*keys), keys, "left_semi")
+            hits = live.select("doc_id").distinct().withColumn("score", F.lit(1.0))
+            out = hits.join(self.doc_dict.select("doc_id", "doc_len"), "doc_id")
+            return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+        eff = {
+            r["term_id"]: float(self.config.roundtrip_tf([terms[r["term"]]])[0])
+            for r in qinfo
+        }
+        qdf = self.spark.createDataFrame(
+            [(tid, eff[tid], float(r["idf"])) for tid, r in zip(tids, qinfo)],
+            "term_id long, qtf double, idf double",
+        )
+        dd_cols = list(dict.fromkeys(keys + ["doc_len", "norm"]))
+        joined = decoded.join(F.broadcast(qdf), "term_id").join(
+            self.doc_dict.select(*dd_cols), keys
+        )
+        tfd = F.col("tf").cast("double")
+        prod = F.col("qtf") * tfd * F.col("idf") * F.col("idf")
+        per_doc = joined.groupBy("doc_id").agg(
+            F.sum(prod).alias("raw"),
+            F.first("doc_len").alias("doc_len"),
+            F.first("norm").alias("norm"),
+        )
+        if algo == "dot":
+            out = per_doc.select("doc_id", F.col("raw").alias("score"), "doc_len")
+        elif algo == "cosine":
+            if not self.meta.get("norms", False):
+                raise ValueError(
+                    "cosine over the packed index needs build_index(norms=True)"
+                )
+            norm_q = math.sqrt(
+                sum((eff[t] * float(r["idf"])) ** 2 for t, r in zip(tids, qinfo))
+            )
+            eps = 2.220446049250313e-16
+            out = per_doc.select(
+                "doc_id",
+                (F.col("raw") / (F.lit(norm_q) * F.col("norm") + F.lit(eps))).alias(
+                    "score"
+                ),
+                "doc_len",
+            )
+        else:
+            raise ValueError(f"unknown algorithm {algo!r}")
+        return out.filter(~F.isnan("score")).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k)
+
+    def bm25_topk_batch(
+        self,
+        queries: dict,
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> DataFrame:
+        """MANY queries in ONE Spark job: -> (query_id, doc_id, score,
+        doc_len) with per-query top-k via a window (SURVEY.md §2.8).
+
+        This is the engine's answer to per-query scheduler latency: the
+        ~1s local-mode floor amortizes over the whole batch, and at
+        cluster scale the postings scan for all queries' terms is one
+        pruned pass."""
+        k1 = self.config.k1 if k1 is None else k1
+        b = self.config.b if b is None else b
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        qinfo = {r["term"]: r for r in self._query_info(all_terms)}
+        pairs = [
+            (int(qid), qinfo[t]["term_id"], float(qinfo[t]["idf"]))
+            for qid, ts in queries.items()
+            for t in set(ts)
+            if t in qinfo
+        ]
+        if not pairs or self.doc_num == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, doc_len long"
+            )
+        qdf = self.spark.createDataFrame(
+            pairs, "query_id long, term_id long, idf double"
+        )
+        tids = sorted({p[1] for p in pairs})
+        decoded = self.decode_postings(tids)
+        keys = ["doc_id"] + (["gen"] if "gen" in self.doc_dict.columns else [])
+        joined = decoded.join(F.broadcast(qdf), "term_id").join(
+            self.doc_dict.select(*(keys + ["doc_len"])), keys
+        )
+        tfd = F.col("tf").cast("double")
+        denom = tfd + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("doc_len").cast("double") / F.lit(self.avg_len)
+        )
+        partial = F.log(F.col("idf")) * (tfd * F.lit(k1 + 1.0)) / denom
+        scored = joined.groupBy("query_id", "doc_id").agg(
+            F.sum(partial).alias("score"), F.first("doc_len").alias("doc_len")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    # ------------------------------------------------------------------
     def bm25_search(
         self,
         query: "Query",
