@@ -55,7 +55,8 @@ from tf_idf_vectorizer_spark.operators.stats import corpus_stats, doc_stats, idf
 
 BLOCK_SCHEMA = (
     "term_id long, salt int, block_seq int, n int, min_doc long, "
-    "max_doc long, max_tf long, min_dl long, doc_deltas binary, tfs binary"
+    "max_doc long, max_tf long, min_dl long, max_score double, "
+    "doc_deltas binary, tfs binary"
 )
 # postings carry an MVCC generation: a doc's live rows are those whose
 # gen matches its doc_dict row (overwrites bump the gen; stale rows are
@@ -168,7 +169,15 @@ def _varint_hex(v):
     return F.concat(*parts)
 
 
-def pack_blocks_jvm(rows: DataFrame, block_size: int, term_buckets: int, gen: int) -> DataFrame:
+def pack_blocks_jvm(
+    rows: DataFrame,
+    block_size: int,
+    term_buckets: int,
+    gen: int,
+    avg_len: float | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
     """(term_id, salt, doc_id, tf, doc_len) -> packed posting blocks,
     entirely in JVM expressions:
 
@@ -183,17 +192,21 @@ def pack_blocks_jvm(rows: DataFrame, block_size: int, term_buckets: int, gen: in
     # ONE shuffle: groupBy(term_id, salt) collects the salt-local posting
     # run; blocks are array slices (no window pass).  Group size is
     # bounded by salt_range — the salting knob, scaled with the cluster.
+    has_idf_in = "idf" in rows.columns
     g_all = rows.groupBy("term_id", "salt").agg(
         F.array_sort(
             F.collect_list(F.struct("doc_id", "tf", "doc_len"))
-        ).alias("run")
+        ).alias("run"),
+        *([F.first("idf").alias("idf")] if has_idf_in else []),
     )
     run = F.col("run")
     n_blocks = F.ceil(F.size(run) / F.lit(block_size)).cast("int")
+    has_idf = "idf" in rows.columns
     g = (
         g_all.select(
             "term_id",
             "salt",
+            *(["idf"] if has_idf else []),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_blocks - 1),
@@ -210,9 +223,29 @@ def pack_blocks_jvm(rows: DataFrame, block_size: int, term_buckets: int, gen: in
             F.element_at("pairs", -1)["doc_id"].alias("max_doc"),
             F.array_max(F.transform("pairs", lambda x: x["tf"])).alias("max_tf"),
             F.array_min(F.transform("pairs", lambda x: x["doc_len"])).alias("min_dl"),
+            *(["idf"] if has_idf else []),
             "pairs",
         )
     )
+    # per-block max BM25 impact score at the canonical (k1, b) and the
+    # build-time avg_len — the north rule's "per-block max-score
+    # metadata".  The WAND path deliberately RECOMPUTES bounds from
+    # (max_tf, min_dl) at query time so they stay safe when incremental
+    # updates move avg_len/idf; max_score is the static fast-path /
+    # inspection value (0.0 when idf is not carried, e.g. delta packs).
+    if has_idf and avg_len:
+        mt = F.col("max_tf").cast("double")
+        ln_idf = F.log(F.col("idf").cast("double"))
+        denom = mt + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("min_dl").cast("double") / F.lit(float(avg_len))
+        )
+        max_score = F.when(ln_idf <= 0, F.lit(0.0)).otherwise(
+            ln_idf * (mt * F.lit(k1 + 1.0)) / denom
+        )
+    else:
+        max_score = F.lit(0.0)
+    g = g.withColumn("max_score", max_score)
     pairs = F.col("pairs")
     deltas = F.transform(
         pairs,
@@ -226,7 +259,7 @@ def pack_blocks_jvm(rows: DataFrame, block_size: int, term_buckets: int, gen: in
     )
     return g.select(
         "term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
-        "max_tf", "min_dl",
+        "max_tf", "min_dl", "max_score",
         doc_deltas.alias("doc_deltas"),
         tf_bytes.alias("tfs"),
         F.pmod(F.col("term_id"), F.lit(term_buckets)).cast("int").alias("bucket"),
@@ -322,13 +355,14 @@ def build_index(
 
     # ---- postings rows with salt + bucket -----------------------------
     rows = (
-        tf.join(F.broadcast(term_dict.select("term_id", "term")), "term")
+        tf.join(F.broadcast(term_dict.select("term_id", "term", "idf")), "term")
         .select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
             "tf",
             "doc_len",
+            F.col("idf").cast("double").alias("idf"),
         )
     )
 
@@ -342,7 +376,11 @@ def build_index(
         rows = rows.filter(~F.col("salt").isin(list(done_salts)))
 
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    packed = pack_blocks_jvm(rows, config.block_size, config.term_buckets, gen=0)
+    build_avg_len = float(total_len) / max(int(doc_num), 1)
+    packed = pack_blocks_jvm(
+        rows, config.block_size, config.term_buckets, gen=0,
+        avg_len=build_avg_len, k1=config.k1, b=config.b,
+    )
 
     # ---- writes --------------------------------------------------------
     # re-shuffle compressed blocks by the layout key so each
