@@ -29,7 +29,6 @@ def tokenize_udf(tokenizer=None):
 
     Returns a column function: df.withColumn("tokens", tok(F.col("text"))).
     """
-    import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
 
     fn = tokenizer or (lambda s: s.split())
