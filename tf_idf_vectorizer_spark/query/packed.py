@@ -46,6 +46,25 @@ from tf_idf_vectorizer_spark.operators.codec import decode_tfs, decode_varint
 _DECODE_SCHEMA = "term_id long, doc_id long, tf long, gen int"
 
 
+def _merge_intervals(ivs: list) -> list:
+    """Sorted disjoint merge of (lo, hi) inclusive intervals."""
+    out: list = []
+    for lo, hi in sorted(ivs):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _overlaps(ivs: list, lo: int, hi: int) -> bool:
+    """Does [lo, hi] intersect any merged interval?  (bisect on starts)"""
+    import bisect
+
+    i = bisect.bisect_right([a for a, _ in ivs], hi)
+    return i > 0 and ivs[i - 1][1] >= lo or (i < len(ivs) and ivs[i][0] <= hi)
+
+
 def _decode_blocks_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
@@ -417,7 +436,165 @@ class PackedIndex:
         raw = ln_idf * (mt * F.lit(k1 + 1.0)) / denom
         return F.when(ln_idf <= 0, F.lit(0.0)).otherwise(raw)
 
+    # above this many block-metadata rows for the query's terms, keep the
+    # fully distributed WAND (driver can't hold the metadata); below it,
+    # planning happens driver-side and the whole query is 2 Spark jobs
+    META_COLLECT_MAX = 200_000
+
     def _wand_topk(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
+        """Block-max WAND with driver-side planning when the query's
+        block METADATA fits on the driver (a few hundred KB for typical
+        queries): collect metadata once, pick seed blocks + compute the
+        prune driver-side, then run exactly TWO jobs — a fused
+        theta pass and a fused candidate+rescore pass.  Each pass
+        decodes one driver-chosen block set with an `is_target` flag
+        propagated through the decode kernel, so candidate membership
+        needs no extra collect.  Falls back to the distributed variant
+        when metadata is too large (true head-term territory)."""
+        tids = [r["term_id"] for r in qinfo]
+        idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+        meta_cols = ["term_id", "salt", "block_seq", "min_doc", "max_doc",
+                     "max_tf", "min_dl"]
+        meta_df = (
+            self._blocks_for(tids).select(*meta_cols)
+            .withColumn("ub", self._block_ub(idf_map, k1, b))
+        )
+        metas = meta_df.limit(self.META_COLLECT_MAX + 1).collect()
+        if len(metas) > self.META_COLLECT_MAX:
+            return self._wand_topk_distributed(qinfo, k, k1, b)
+        if not metas:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+
+        term_ubs: dict[int, float] = {}
+        for m in metas:
+            term_ubs[m["term_id"]] = max(term_ubs.get(m["term_id"], 0.0), m["ub"])
+        sum_ub = sum(term_ubs.values())
+
+        # ---- job 1: fused theta pass -----------------------------------
+        rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
+        rare_blocks = sorted(
+            (m for m in metas if m["term_id"] == rare["term_id"]),
+            key=lambda m: -m["ub"],
+        )[: max(4, (4 * k) // self.config.block_size + 1)]
+        theta = -math.inf
+        if rare_blocks:
+            seed_keys = {
+                (m["term_id"], m["salt"], m["block_seq"]) for m in rare_blocks
+            }
+            seed_iv = _merge_intervals(
+                [(m["min_doc"], m["max_doc"]) for m in rare_blocks]
+            )
+            theta_keys = [
+                (m, (m["term_id"], m["salt"], m["block_seq"]) in seed_keys)
+                for m in metas
+                if _overlaps(seed_iv, m["min_doc"], m["max_doc"])
+            ]
+            top = (
+                self._score_flagged(theta_keys, qinfo, k1, b)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if len(top) >= k:
+                theta = top[-1]["score"]
+
+        # ---- driver-side prune -----------------------------------------
+        if math.isfinite(theta):
+            surv = [
+                m for m in metas
+                if m["ub"] + (sum_ub - term_ubs[m["term_id"]]) >= theta
+            ]
+        else:
+            surv = list(metas)
+        if not surv:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+
+        # ---- job 2: fused candidate + exact rescore ---------------------
+        surv_keys = {(m["term_id"], m["salt"], m["block_seq"]) for m in surv}
+        surv_iv = _merge_intervals([(m["min_doc"], m["max_doc"]) for m in surv])
+        final_keys = [
+            (m, (m["term_id"], m["salt"], m["block_seq"]) in surv_keys)
+            for m in metas
+            if _overlaps(surv_iv, m["min_doc"], m["max_doc"])
+        ]
+        scored = self._score_flagged(final_keys, qinfo, k1, b)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _score_flagged(
+        self,
+        keyed: list,
+        qinfo: list[dict],
+        k1: float,
+        b: float,
+    ) -> DataFrame:
+        """Decode the given (meta_row, is_target) blocks in one job and
+        exact-BM25-score the docs that appear in >=1 target block; the
+        flag rides through the decode kernel so no id-collect happens."""
+        key_rows = [
+            (m["term_id"], m["salt"], m["block_seq"], bool(flag))
+            for m, flag in keyed
+        ]
+        kdf = self.spark.createDataFrame(
+            key_rows, "term_id long, salt int, block_seq int, is_target boolean"
+        )
+        tids = sorted({m["term_id"] for m, _ in keyed})
+        blocks = self._blocks_for(tids).join(
+            F.broadcast(kdf), ["term_id", "salt", "block_seq"]
+        )
+
+        def decode_flagged(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cols = {k: [] for k in ("term_id", "doc_id", "tf", "gen", "is_target")}
+                for tid, deltas, tfbuf, n, gen, tgt in zip(
+                    pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"],
+                    pdf["gen"], pdf["is_target"],
+                ):
+                    ids = np.cumsum(decode_varint(bytes(deltas)), dtype=np.uint64)
+                    cols["term_id"].append(np.full(n, tid, dtype=np.int64))
+                    cols["doc_id"].append(ids.astype(np.int64))
+                    cols["tf"].append(decode_tfs(bytes(tfbuf)).astype(np.int64))
+                    cols["gen"].append(np.full(n, gen, dtype=np.int32))
+                    cols["is_target"].append(np.full(n, bool(tgt), dtype=bool))
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+        decoded = blocks.select(
+            "term_id", "n", "doc_deltas", "tfs", "gen", "is_target"
+        ).mapInPandas(
+            decode_flagged,
+            schema="term_id long, doc_id long, tf long, gen int, is_target boolean",
+        )
+        qdf = self.spark.createDataFrame(
+            [(r["term_id"], float(r["idf"])) for r in qinfo],
+            "term_id long, idf double",
+        )
+        keys = ["doc_id"] + (["gen"] if "gen" in self.doc_dict.columns else [])
+        joined = decoded.join(F.broadcast(qdf), "term_id").join(
+            self.doc_dict.select(*(keys + ["doc_len"])), keys
+        )
+        tfd = F.col("tf").cast("double")
+        denom = tfd + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("doc_len").cast("double") / F.lit(self.avg_len)
+        )
+        partial = F.log(F.col("idf")) * (tfd * F.lit(k1 + 1.0)) / denom
+        return (
+            joined.groupBy("doc_id")
+            .agg(
+                F.sum(partial).alias("score"),
+                F.first("doc_len").alias("doc_len"),
+                F.max("is_target").alias("is_target"),
+            )
+            .filter(F.col("is_target"))
+            .drop("is_target")
+        )
+
+    def _wand_topk_distributed(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         meta_cols = ["term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
