@@ -371,6 +371,62 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
 
 
+_MERGED: dict[str, "object"] = {}
+
+
+def q_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-index merge (mod.rs:311-338, examples/merge.rs): build two
+    overlapping shard indexes, merge_indexes(A, B) — the result must be
+    query-identical to one index over the full corpus (the oracle SQL
+    scores the full corpus directly)."""
+    if sf_dir not in _MERGED:
+        import tempfile
+
+        from tf_idf_vectorizer_spark.config import EngineConfig
+        from tf_idf_vectorizer_spark.operators.index_build import build_index
+        from tf_idf_vectorizer_spark.operators.merge import merge_indexes
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex
+
+        cfg = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        # overlapping shards covering the corpus; overlap content equal,
+        # so B-wins collisions reproduce the full corpus exactly
+        shard_a = docs.filter(F.pmod("doc_id", F.lit(4)) != 3)
+        shard_b = docs.filter(F.pmod("doc_id", F.lit(4)).isin(2, 3))
+        base = tempfile.mkdtemp(prefix="gate_merge_")
+        build_index(spark, shard_a, f"{base}/a", config=cfg, precision="f64")
+        build_index(spark, shard_b, f"{base}/b", config=cfg, precision="f64")
+        merge_indexes(spark, f"{base}/a", f"{base}/b", f"{base}/merged", cfg)
+        _MERGED[sf_dir] = PackedIndex(spark, f"{base}/merged", cfg)
+    idx = _MERGED[sf_dir]
+    hits = idx.bm25_topk(BM25_TERMS, k=1_000_000, mode="exact")
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
+
+
+def q_bm25_packed_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus separation on the PACKED path (set_corpus_ref,
+    mod.rs:89-92): an index over the lang='en' sub-collection scored
+    with the full corpus's DF/IDF stats — same oracle as the exact-path
+    bm25_external_corpus gate."""
+    key = f"{sf_dir}#en"
+    if key not in _PACKED:
+        import tempfile
+
+        from tf_idf_vectorizer_spark.config import EngineConfig
+        from tf_idf_vectorizer_spark.operators.index_build import build_index
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex
+
+        cfg = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+        docs_en = load_documents(spark, sf_dir).filter(F.col("lang") == "en")
+        out = tempfile.mkdtemp(prefix="gate_idx_en_") + "/idx"
+        build_index(spark, docs_en, out, config=cfg, precision="f64")
+        _PACKED[key] = PackedIndex(spark, out, cfg)
+    full = _searcher(spark, sf_dir)
+    swapped = _PACKED[key].with_external_stats(full.df_stats, full.doc_num)
+    hits = swapped.bm25_topk(BM25_TERMS, k=1_000_000, mode="exact")
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
+
+
 BATCH_QUERIES = {0: ["spark", "join"], 1: ["the"], 2: ["merge", "query"]}
 
 
@@ -471,15 +527,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path by default: sign-bucket LSH equi-join (no
+    CartesianProduct in the plan), exact cosine verify inside buckets —
+    pipeline/dedup.embedding_near_dup's plan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 200
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    ).withColumn("bucket", sign_bucket_expr("embedding", 8))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    # threshold chosen so the gate is non-trivial on the synthetic
+    # embeddings (within-bucket cosines top out ~0.40 at sf0.01)
     return pairs.select(
         "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine")
-    ).filter(F.col("cosine") >= 0.5)
+    ).filter(F.col("cosine") >= 0.15)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,15 +568,30 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (media decode is the deterministic fake; the
-    Spark plumbing — binary cols, mapInPandas batches — is what runs)."""
+    """Full-oracle check: the deterministic fake feature kernel is md5
+    math, so DuckDB reproduces f0 and the feature sum exactly (every
+    value is an exact multiple of 2^-15 — double math is lossless).  The
+    Spark plumbing — binary cols, mapInPandas Arrow batches — is the
+    real decoder contract."""
     media = multimodal.attach_fake_media(load_documents(spark, sf_dir))
     feats = multimodal.extract_features(media)
-    return feats.select("doc_id", "media_type", F.size("features").alias("dim"))
+    fsum = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.size("features").alias("dim"),
+        _r6(F.element_at("features", 1).cast("double")).alias("f0"),
+        _r6(fsum).alias("fsum"),
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (duration comes from xxhash64, not in DuckDB)."""
+    """Full-oracle check: duration/media_type derive from md5, which
+    DuckDB computes identically."""
     media = multimodal.attach_fake_media(load_documents(spark, sf_dir))
     return multimodal.frame_sample_plan(media, every_ms=10000)
 
@@ -645,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand,
         "bm25_packed_bool": q_bm25_packed_bool,
         "bm25_batch": q_bm25_batch,
+        "merge_indexes": q_merge_indexes,
+        "bm25_packed_external": q_bm25_packed_external,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash,
@@ -674,15 +752,6 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_raw() -> dict[str, str]:
-    lang_tf = lambda lang: (  # noqa: E731
-        f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ("
-        f"SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
-        f"FROM documents WHERE trim(text) <> '' AND lang = '{lang}') "
-        f"GROUP BY doc_id, term"
-    )
-    stats_of = lambda sub: (  # noqa: E731
-        f"SELECT term, count(*)::BIGINT AS df FROM ({sub}) GROUP BY term"
-    )
     return {
         "term_frequencies": SQL_PRELUDE
         + "SELECT doc_id, term, tf FROM tf WHERE doc_id < 50",
@@ -699,7 +768,25 @@ FROM dl JOIN norms USING(doc_id)""",
         "bm25_topk": _bm25_sql(BM25_TERMS, K),
         "bm25_head_term": _bm25_sql(["the"], K),
         "bm25_custom_params": _bm25_sql(BM25_TERMS, K, k1=0.5, b=0.2),
-        "bm25_external_corpus": """
+        "bm25_external_corpus": _oracle_sql_external(),
+        "bm25_bool_search": _bm25_sql(
+            ["spark", "join"],
+            K,
+            filter_sql=(
+                "SELECT doc_id FROM tf WHERE term IN ('spark','join') "
+                "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
+            ),
+        ),
+        "bm25_packed_topk": _bm25_sql(BM25_TERMS, K),
+        "bm25_wand_topk": _bm25_sql(BM25_TERMS, K),
+    } | _oracle_sql_raw_rest()
+
+
+def _oracle_sql_external() -> str:
+    """Score the lang='en' sub-collection with the FULL corpus's DF/IDF
+    stats (set_corpus_ref semantics) — shared by the exact-path and
+    packed-path external-stats gates."""
+    return """
 WITH tok_en AS (
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
     FROM documents WHERE trim(text) <> '' AND lang = 'en'
@@ -731,17 +818,20 @@ SELECT c.doc_id, round(coalesce(p.raw, 0.0), 6) AS score,
        coalesce(d.doc_len, 0)::BIGINT AS doc_len
 FROM cand c LEFT JOIN partials p USING(doc_id) LEFT JOIN dl_en d USING(doc_id)
 ORDER BY score DESC, c.doc_id ASC LIMIT 20
-""",
-        "bm25_bool_search": _bm25_sql(
-            ["spark", "join"],
-            K,
-            filter_sql=(
-                "SELECT doc_id FROM tf WHERE term IN ('spark','join') "
-                "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
-            ),
-        ),
-        "bm25_packed_topk": _bm25_sql(BM25_TERMS, K),
-        "bm25_wand_topk": _bm25_sql(BM25_TERMS, K),
+"""
+
+
+def _oracle_sql_raw_rest() -> dict[str, str]:
+    lang_tf = lambda lang: (  # noqa: E731
+        f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ("
+        f"SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        f"FROM documents WHERE trim(text) <> '' AND lang = '{lang}') "
+        f"GROUP BY doc_id, term"
+    )
+    stats_of = lambda sub: (  # noqa: E731
+        f"SELECT term, count(*)::BIGINT AS df FROM ({sub}) GROUP BY term"
+    )
+    return {
         "bm25_batch": SQL_PRELUDE
         + """,
 q(query_id, term) AS (
@@ -838,6 +928,10 @@ FROM tf WHERE doc_id < 40 AND tf - 1 > 0""",
         "add_terms_from_freq": SQL_PRELUDE
         + """SELECT doc_id, term, (tf + tf)::BIGINT AS tf FROM tf WHERE doc_id < 20""",
         "title_sort": _bm25_title_sort_sql(),
+        "merge_indexes": _bm25_sql(BM25_TERMS, K),
+        "bm25_packed_external": _oracle_sql_external(),
+        "multimodal_features": _multimodal_features_sql(),
+        "frame_sample_plan": _frame_sample_sql(10000),
         "score_counts": SQL_PRELUDE
         + """,
 matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
@@ -866,12 +960,15 @@ def _sig_exprs(n: int) -> str:
     )
 
 
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(8)
+)
+
+
 def _ann_sql(bucketed: bool) -> str:
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
-    bucket_expr = " + ".join(
-        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
-        for i in range(8)
-    )
+    bucket_expr = _BUCKET_SQL
     base = f"""
 WITH e AS (SELECT vec_id, embedding, ({bucket_expr})::INT AS bucket FROM embeddings),
 ex AS (SELECT vec_id, bucket, unnest(embedding) AS val,
@@ -901,6 +998,75 @@ SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {ANN_K}
 """
     return base
 
+
+
+def _nib_sql(hcol: str, pos: int) -> str:
+    """Value of 0-based hex nibble ``pos`` of an md5 hex string column."""
+    return f"(strpos('0123456789abcdef', substring({hcol}, {pos + 1}, 1)) - 1)"
+
+
+def _hex_int_sql(hcol: str, n_hex: int) -> str:
+    """First n_hex hex chars as an integer (mirrors Spark's conv(,16,10))."""
+    return " + ".join(
+        f"{_nib_sql(hcol, i)} * {16 ** (n_hex - 1 - i)}" for i in range(n_hex)
+    )
+
+
+def _media_type_sql(mhcol: str) -> str:
+    return (
+        f"CASE ({_nib_sql(mhcol, 0)}) % 3 WHEN 0 THEN 'image' "
+        "WHEN 1 THEN 'audio' ELSE 'video' END"
+    )
+
+
+def _multimodal_features_sql() -> str:
+    """DuckDB mirror of pipeline/multimodal._fake_features: md5 digest
+    bytes -> little-endian uint16 pairs -> /32768 - 1.  Every feature is
+    an exact multiple of 2^-15, so double math is lossless on both
+    engines."""
+    # uint16 i (LE) = byte(2i) + 256*byte(2i+1); byte(j) = nib(2j)*16+nib(2j+1)
+    def val(i: int) -> str:
+        j0, j1 = 2 * i, 2 * i + 1
+        return (
+            f"(({_nib_sql('hh', 2 * j0)} * 16 + {_nib_sql('hh', 2 * j0 + 1)}) "
+            f"+ 256 * ({_nib_sql('hh', 2 * j1)} * 16 + {_nib_sql('hh', 2 * j1 + 1)}))"
+        )
+
+    f0 = f"({val(0)} / 32768.0 - 1.0)"
+    # dim=16 features repeat the 8 digest uint16s twice -> sum = 2 * Σ_{i<8}
+    fsum = "2.0 * (" + " + ".join(f"({val(i)} / 32768.0 - 1.0)" for i in range(8)) + ")"
+    return f"""
+WITH h AS (
+    SELECT doc_id,
+           md5('MEDIA:' || CAST(doc_id AS VARCHAR)) AS hh,
+           md5('MT:' || CAST(doc_id AS VARCHAR)) AS mh
+    FROM documents
+)
+SELECT doc_id,
+       {_media_type_sql('mh')} AS media_type,
+       16::INT AS dim,
+       round({f0}, 6) AS f0,
+       round({fsum}, 6) AS fsum
+FROM h"""
+
+
+def _frame_sample_sql(every_ms: int = 10000) -> str:
+    return f"""
+WITH h AS (
+    SELECT doc_id,
+           md5('MT:' || CAST(doc_id AS VARCHAR)) AS mh,
+           md5('DUR:' || CAST(doc_id AS VARCHAR)) AS dh
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           ({_nib_sql('mh', 0)}) % 3 AS mtv,
+           (({_hex_int_sql('dh', 4)}) % 60000) + 1 AS duration_ms
+    FROM h
+)
+SELECT doc_id,
+       unnest(generate_series(0, duration_ms - 1, {every_ms}))::BIGINT AS frame_ts_ms
+FROM m WHERE mtv = 2"""
 
 
 def _bm25_title_sort_sql() -> str:
@@ -970,23 +1136,25 @@ votes AS (SELECT doc_id, {simhash_votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes""",
         "ann_bruteforce": _ann_sql(False),
         "ann_lsh": _ann_sql(True),
-        "embedding_near_dup": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-ex AS (SELECT vec_id, unnest(embedding) AS val,
+        "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, embedding, ({_BUCKET_SQL})::INT AS bucket
+           FROM embeddings WHERE vec_id < 200),
+ex AS (SELECT vec_id, bucket, unnest(embedding) AS val,
               generate_subscripts(embedding, 1) AS pos FROM e),
 n AS (SELECT vec_id, sqrt(sum((val::DOUBLE) * (val::DOUBLE))) AS nrm
       FROM ex GROUP BY vec_id),
 dots AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            sum((a.val::DOUBLE) * (b.val::DOUBLE)) AS dot
-    FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    FROM ex a JOIN ex b
+      ON a.pos = b.pos AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     GROUP BY 1, 2
 ),
 scored AS (
     SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
     FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
 )
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5::DOUBLE""",
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.15::DOUBLE""",
         "token_counts": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0

@@ -34,8 +34,13 @@ class EngineConfig:
     k1: float = 1.2             # BM25 k1 (scoring.rs:32; canonical value)
     b: float = 0.75             # BM25 b
     block_size: int = 128       # docs per posting block (ours; ref has none)
-    n_salts: int = 8            # doc-range salts for head-term skew
+    n_salts: int = 8            # MINIMUM doc-range salts for head-term skew
     term_buckets: int = 64      # hash buckets for postings partition pruning
+    # upper bound on a (term_id, salt) aggregation group in the packer: a
+    # stop-word's salt-local run is <= salt_range docs, so build_index
+    # raises n_salts until salt_range <= this (keeps every collect_list
+    # buffer executor-sized at ANY corpus scale)
+    salt_target_rows: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.dtype not in _SUPPORTED_DTYPES:
@@ -66,6 +71,39 @@ class EngineConfig:
     def roundtrip_tf(self, counts: np.ndarray) -> np.ndarray:
         """count -> quantize -> denorm, the effective tf seen by scorers."""
         return self.tf_denorm(self.tf_quantize(np.asarray(counts)))
+
+
+def with_effective_tf(df, config: "EngineConfig", tf_col: str = "tf",
+                      out_col: str = "tf_eff"):
+    """Add ``out_col`` = the quantize->denorm roundtrip of ``tf_col``
+    (tfidf.rs:61-213) to a DataFrame.
+
+    The chain is applied exactly ONCE at ingestion — the packed index
+    stores the EFFECTIVE tf, so decode/scoring reads it directly and
+    stays identical to the exact path for every dtype.  f32 is the
+    identity (pure column alias, no work); u16/u32 are a JVM ``least``
+    (codegen'd); only f16 needs the Arrow boundary (numpy float16 has no
+    Catalyst equivalent), which is the documented cost of the reference's
+    lossy default engine (mod.rs:50).
+    """
+    from pyspark.sql import functions as F
+
+    if config.dtype == "f32":
+        return df.withColumn(out_col, F.col(tf_col))
+    if config.dtype in ("u16", "u32"):
+        cap = np.iinfo(np.uint16 if config.dtype == "u16" else np.uint32).max
+        return df.withColumn(
+            out_col, F.least(F.col(tf_col), F.lit(int(cap))).cast("long")
+        )
+    # f16: sqrt -> float16 -> square -> truncate (tfidf.rs:79-91)
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    cfg = config
+    _rt = F.pandas_udf(
+        lambda s: pd.Series(cfg.roundtrip_tf(s.to_numpy())), LongType()
+    )
+    return df.withColumn(out_col, _rt(F.col(tf_col)))
 
 
 DEFAULT = EngineConfig()

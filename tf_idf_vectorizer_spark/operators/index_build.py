@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
+from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
 from tf_idf_vectorizer_spark.operators.codec import encode_varint_blocks
 from tf_idf_vectorizer_spark.operators.stats import corpus_stats, doc_stats, idf_table
@@ -303,11 +303,18 @@ def build_index(
 
     # one pass over the input for both scalars
     doc_num, max_id = docs.agg(F.count("*"), F.max(key_col)).first()
+    max_id = int(max_id) if max_id is not None else 0
     _mark("input_scalars")
-    # doc_len rides along with every TF row (no doc-keyed join later)
+    # doc_len rides along with every TF row (no doc-keyed join later).
+    # tf_eff is the quantize->denorm roundtrip (identity for f32): the
+    # index stores the EFFECTIVE tf, so the packed scorers match the
+    # exact path for every engine dtype (tfidf.rs:61-213; the f16 chain
+    # is the reference's default engine, mod.rs:50).  doc_len keeps RAW
+    # counts (term_sum accumulates unquantized counts, term.rs:53-73).
     tf = term_frequencies(
         docs, key_col, text_col, with_doc_len=True
     ).withColumnRenamed(key_col, "doc_id")
+    tf = with_effective_tf(tf, config)
     tf.cache()
 
     stats = corpus_stats(tf, "doc_id")
@@ -334,7 +341,10 @@ def build_index(
     # paths never read them, so they are opt-in (norms=True).  doc_len is
     # a plain partial+final agg over the cached TF relation.
     if norms:
-        dstats = doc_stats(tf, idf, "doc_id", precision).cache()
+        dstats = doc_stats(
+            tf, idf, "doc_id", precision,
+            eff_col="tf_eff" if config.dtype != "f32" else None,
+        ).cache()
     else:
         dstats = (
             tf.groupBy("doc_id")
@@ -342,16 +352,30 @@ def build_index(
             .withColumn("norm", F.lit(0.0))
             .cache()
         )
-    doc_cols = [F.col("doc_id"), F.col("doc_len"), F.col("norm"), F.lit(0).alias("gen")]
-    doc_dict = dstats.select(*doc_cols)
-    if url_col:
-        doc_dict = doc_dict.join(
-            docs.select(F.col(key_col).alias("doc_id"), url_col), "doc_id"
-        )
+    # doc_dict spans ALL input docs, including zero-token ones (doc_len
+    # 0): they count in doc_num/avg_len and in the boolean universe
+    # ((all) / (not ...)), exactly like ExactSearcher.all_docs
+    base_cols = [F.col(key_col).alias("doc_id")] + (
+        [F.col(url_col)] if url_col else []
+    )
+    doc_dict = (
+        docs.select(*base_cols)
+        .join(dstats, "doc_id", "left")
+        .fillna({"doc_len": 0, "norm": 0.0})
+        .withColumn("gen", F.lit(0))
+    )
     total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
     _mark("doc_stats")
 
-    salt_range = max(1, (int(max_id) + config.n_salts) // config.n_salts)
+    # salting auto-scales so no (term_id, salt) aggregation group can
+    # exceed ~salt_target_rows posting entries (a stop-word's salt-local
+    # run is at most salt_range docs): n_salts grows with the corpus,
+    # n_salts = 8 at 10^7 docs but 500k at 10^12 — no fixed-knob OOM
+    n_salts = max(
+        int(config.n_salts),
+        -(-(int(max_id) + 1) // int(config.salt_target_rows)),
+    )
+    salt_range = max(1, (int(max_id) + n_salts) // n_salts)
 
     # ---- postings rows with salt + bucket -----------------------------
     rows = (
@@ -360,7 +384,7 @@ def build_index(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
-            "tf",
+            F.col("tf_eff").alias("tf"),
             "doc_len",
             F.col("idf").cast("double").alias("idf"),
         )
@@ -436,7 +460,7 @@ def build_index(
         "total_len": int(total_len),
         "n_terms": int(n_terms),
         "salt_range": int(salt_range),
-        "n_salts": int(config.n_salts),
+        "n_salts": int(n_salts),
         "term_buckets": int(config.term_buckets),
         "block_size": int(config.block_size),
         "precision": precision,

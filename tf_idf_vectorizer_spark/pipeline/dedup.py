@@ -180,10 +180,45 @@ def embedding_near_dup(
     threshold: float = 0.95,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold.
-    -> (id_a, id_b, cosine).  Brute force; compose with LSH buckets
-    (similarity.lsh_bucket) for the scale path."""
+    """Embedding-cosine near-duplicate pairs above threshold, DEFAULT
+    scale path: candidates restricted to a deterministic sign-pattern
+    LSH bucket (equi-join on the bucket id — no CartesianProduct in the
+    plan; candidate volume ~ Σ bucket² instead of corpus²), then exact
+    cosine verification inside the bucket.  Near-identical vectors agree
+    on sign bits except where a component sits near zero, so recall is
+    high at near-dup thresholds; ``embedding_near_dup_exact`` is the
+    all-pairs verifier when completeness matters more than scale.
+    -> (id_a, id_b, cosine)."""
+    from tf_idf_vectorizer_spark.pipeline.similarity import (
+        cosine_expr,
+        sign_bucket_expr,
+    )
+
+    bucketed = emb.select(
+        F.col(key_col), F.col(vec_col), sign_bucket_expr(vec_col, n_bits).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(key_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_expr("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_exact(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact verifier (quadratic crossJoin — bound the input;
+    use the bucketed ``embedding_near_dup`` at scale)."""
     from tf_idf_vectorizer_spark.pipeline.similarity import cosine_expr
 
     a = emb.select(F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -31,20 +31,29 @@ FEATURE_DIM = 16
 _FEATURE_SCHEMA = f"doc_id long, media_type string, features array<float>"
 
 
+def _md5_head_int(prefix: str, key_col: str, n_hex: int) -> "F.Column":
+    """First n_hex hex chars of md5(prefix || key) as an int — md5 is the
+    only hash both Spark and DuckDB compute identically, which is what
+    lets the multimodal gates run under the cross-engine oracle."""
+    h = F.md5(F.encode(F.concat(F.lit(prefix), F.col(key_col).cast("string")), "UTF-8"))
+    return F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long")
+
+
 def attach_fake_media(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Derive a deterministic opaque media column from each doc (stands
-    in for a real (url -> bytes) fetch; exercises the binary plumbing)."""
+    in for a real (url -> bytes) fetch; exercises the binary plumbing).
+    All metadata derives from md5 so a DuckDB oracle reproduces it."""
     mt = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(key_col), F.lit(3)) + 1).cast("int"),
+        (F.pmod(_md5_head_int("MT:", key_col, 1), F.lit(3)) + 1).cast("int"),
     )
     return docs.select(
         F.col(key_col).alias("doc_id"),
         F.encode(F.concat(F.lit("MEDIA:"), F.col(key_col).cast("string")), "UTF-8").alias("media"),
         mt.alias("media_type"),
-        (F.pmod(F.xxhash64(key_col, F.lit("w")), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64(key_col, F.lit("h")), F.lit(1080)) + 1).cast("int").alias("height"),
-        (F.pmod(F.xxhash64(key_col, F.lit("d")), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+        (F.pmod(_md5_head_int("W:", key_col, 4), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(_md5_head_int("H:", key_col, 4), F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(_md5_head_int("DUR:", key_col, 4), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
     )
 
 
@@ -98,6 +107,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return vids.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("duration_ms") - 1).cast("long"),
+                F.lit(every_ms).cast("long"),
+            )
         ).alias("frame_ts_ms"),
     )

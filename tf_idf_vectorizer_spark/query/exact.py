@@ -73,17 +73,9 @@ class ExactSearcher:
         # tfidf.rs:61-213) while doc_len keeps RAW counts (term_sum
         # accumulates unquantized counts, term.rs:53-73).  Arrow-
         # vectorized; identity for f32 so no UDF in the default path.
-        if config.dtype != "f32":
-            import pandas as pd
-            from pyspark.sql.types import LongType
+        from tf_idf_vectorizer_spark.config import with_effective_tf
 
-            cfg = config
-            _rt = F.pandas_udf(
-                lambda s: pd.Series(cfg.roundtrip_tf(s.to_numpy())), LongType()
-            )
-            self.tf = self.tf.withColumn("tf_eff", _rt(F.col("tf")))
-        else:
-            self.tf = self.tf.withColumn("tf_eff", F.col("tf"))
+        self.tf = with_effective_tf(self.tf, config)
         if cache:
             self.tf = self.tf.cache()
         self.df_stats = corpus_stats(self.tf, key_col)

@@ -93,11 +93,27 @@ class PackedIndex:
     """Reader over the table set written by build_index."""
 
     def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT):
+        from tf_idf_vectorizer_spark.ioutil import recover_dir
+
         self.spark = spark
         self.dir = index_dir
         self.config = config
+        for table in ("term_dict", "doc_dict", "postings"):
+            if recover_dir(f"{index_dir}/{table}"):
+                # a recovery changed what lives under the path: drop any
+                # file listing / cached plan pinned to it (path-keyed)
+                spark.catalog.refreshByPath(f"{index_dir}/{table}")
         with open(f"{index_dir}/meta.json") as fh:
             self.meta = json.load(fh)
+        # the stored tf already went through the build config's
+        # quantize/denorm chain; reading with a different dtype would
+        # silently score a different engine's values
+        built = self.meta.get("dtype", "f32")
+        if built != config.dtype:
+            raise ValueError(
+                f"index at {index_dir} was built with dtype={built!r}; "
+                f"open it with a matching EngineConfig (got {config.dtype!r})"
+            )
         self.doc_dict = spark.read.parquet(f"{index_dir}/doc_dict").cache()
         self.term_dict = spark.read.parquet(f"{index_dir}/term_dict").cache()
         self.doc_num = self.meta["doc_num"]
@@ -139,15 +155,46 @@ class PackedIndex:
         )
         return [r.asDict() for r in sorted(rows, key=lambda r: r["term"])]
 
-    def _blocks_for(self, term_ids: list[int]) -> DataFrame:
+    def with_external_stats(self, df_stats: DataFrame, doc_num: int) -> "PackedIndex":
+        """Score THIS index's documents with ANOTHER corpus's DF/IDF
+        stats — the reference's corpus separation (`set_corpus_ref`,
+        mod.rs:89-92; README.md:15), now on the packed path (parity with
+        ExactSearcher.with_external_stats).  Doc-side postings / doc_len
+        / avg_len stay local; df+idf come from the external stats table.
+        Index terms missing from the external stats drop out of queries
+        (same inner-join semantics as the exact path)."""
+        import copy
+
+        from tf_idf_vectorizer_spark.operators.stats import idf_table
+
+        other = copy.copy(self)
+        precision = self.meta.get("precision", "f32")
+        ext = idf_table(df_stats, doc_num, precision)
+        other.term_dict = (
+            self.term_dict.select("term_id", "term")
+            .join(ext, "term")
+            .select("term_id", "term", "df", "idf")
+        )
+        if hasattr(other, "_term_map"):
+            del other._term_map  # re-pin the driver dict from the new table
+        return other
+
+    def _blocks_for(self, term_ids: list[int] | None) -> DataFrame:
+        """Posting blocks for the given terms (bucket + term_id pruned),
+        or the whole postings table when term_ids is None (maintenance
+        paths: compact, norms refresh — never a term-dictionary collect)."""
+        if term_ids is None:
+            return self._postings()
         buckets = sorted({tid % self.meta["term_buckets"] for tid in term_ids})
         return self._postings().filter(
             F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
         )
 
-    def decode_postings(self, term_ids: list[int]) -> DataFrame:
-        """(term_id, doc_id, tf) rows for the given terms — the exact
-        packed read path (no pruning)."""
+    def decode_postings(self, term_ids: list[int] | None) -> DataFrame:
+        """(term_id, doc_id, tf, gen) rows for the given terms (all terms
+        when None) — the exact packed read path (no pruning).  tf is the
+        EFFECTIVE value (the build applied the config's quantize/denorm
+        chain once at pack time), so scorers use it directly."""
         blocks = self._blocks_for(term_ids).select("term_id", "n", "doc_deltas", "tfs", "gen")
         return blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
 
@@ -161,8 +208,10 @@ class PackedIndex:
     ) -> DataFrame:
         """Exact BM25 over decoded (term_id, doc_id, tf) rows -> (doc_id,
         score, doc_len).  Same expression tree as the exact path
-        (scoring.rs:410-435); tf goes through the config's denorm chain
-        (identity for f32/u32)."""
+        (scoring.rs:410-435); tf is already the EFFECTIVE value — the
+        config's quantize/denorm chain ran once at pack time, so every
+        dtype (incl. the reference's default f16, mod.rs:50) matches
+        ExactSearcher here."""
         qdf = self.spark.createDataFrame(
             [(r["term_id"], float(r["idf"])) for r in qinfo],
             "term_id long, idf double",
@@ -453,8 +502,13 @@ class PackedIndex:
         when metadata is too large (true head-term territory)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
-        meta_cols = ["term_id", "salt", "block_seq", "min_doc", "max_doc",
-                     "max_tf", "min_dl"]
+        # gen is part of the physical block identity: pack_blocks_jvm
+        # restarts block_seq per generation, so after apply_batch the
+        # same (term_id, salt, block_seq) exists once PER GEN — keys
+        # without gen would join one metadata row onto several blocks
+        # and double-count their scores
+        meta_cols = ["term_id", "salt", "block_seq", "gen", "min_doc",
+                     "max_doc", "max_tf", "min_dl"]
         meta_df = (
             self._blocks_for(tids).select(*meta_cols)
             .withColumn("ub", self._block_ub(idf_map, k1, b))
@@ -466,6 +520,9 @@ class PackedIndex:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, doc_len long"
             )
+
+        def _key(m):
+            return (m["term_id"], m["salt"], m["block_seq"], m["gen"])
 
         term_ubs: dict[int, float] = {}
         for m in metas:
@@ -480,14 +537,12 @@ class PackedIndex:
         )[: max(4, (4 * k) // self.config.block_size + 1)]
         theta = -math.inf
         if rare_blocks:
-            seed_keys = {
-                (m["term_id"], m["salt"], m["block_seq"]) for m in rare_blocks
-            }
+            seed_keys = {_key(m) for m in rare_blocks}
             seed_iv = _merge_intervals(
                 [(m["min_doc"], m["max_doc"]) for m in rare_blocks]
             )
             theta_keys = [
-                (m, (m["term_id"], m["salt"], m["block_seq"]) in seed_keys)
+                (m, _key(m) in seed_keys)
                 for m in metas
                 if _overlaps(seed_iv, m["min_doc"], m["max_doc"])
             ]
@@ -514,15 +569,19 @@ class PackedIndex:
             )
 
         # ---- job 2: fused candidate + exact rescore ---------------------
-        surv_keys = {(m["term_id"], m["salt"], m["block_seq"]) for m in surv}
+        surv_keys = {_key(m) for m in surv}
         surv_iv = _merge_intervals([(m["min_doc"], m["max_doc"]) for m in surv])
         final_keys = [
-            (m, (m["term_id"], m["salt"], m["block_seq"]) in surv_keys)
+            (m, _key(m) in surv_keys)
             for m in metas
             if _overlaps(surv_iv, m["min_doc"], m["max_doc"])
         ]
         scored = self._score_flagged(final_keys, qinfo, k1, b)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    _KDF_SCHEMA = (
+        "term_id long, salt int, block_seq int, gen int, is_target boolean"
+    )
 
     def _score_flagged(
         self,
@@ -531,19 +590,29 @@ class PackedIndex:
         k1: float,
         b: float,
     ) -> DataFrame:
-        """Decode the given (meta_row, is_target) blocks in one job and
-        exact-BM25-score the docs that appear in >=1 target block; the
-        flag rides through the decode kernel so no id-collect happens."""
+        """Driver-planned wrapper: (meta_row, is_target) list -> kdf."""
         key_rows = [
-            (m["term_id"], m["salt"], m["block_seq"], bool(flag))
+            (m["term_id"], m["salt"], m["block_seq"], m["gen"], bool(flag))
             for m, flag in keyed
         ]
-        kdf = self.spark.createDataFrame(
-            key_rows, "term_id long, salt int, block_seq int, is_target boolean"
-        )
+        kdf = F.broadcast(self.spark.createDataFrame(key_rows, self._KDF_SCHEMA))
         tids = sorted({m["term_id"] for m, _ in keyed})
+        return self._score_flagged_df(kdf, tids, qinfo, k1, b)
+
+    def _score_flagged_df(
+        self,
+        kdf: DataFrame,
+        tids: list[int],
+        qinfo: list[dict],
+        k1: float,
+        b: float,
+    ) -> DataFrame:
+        """Decode the flagged blocks (kdf: block key -> is_target) in one
+        job and exact-BM25-score the docs that appear in >=1 target
+        block; the flag rides through the decode kernel so candidate
+        membership never touches the driver."""
         blocks = self._blocks_for(tids).join(
-            F.broadcast(kdf), ["term_id", "salt", "block_seq"]
+            kdf, ["term_id", "salt", "block_seq", "gen"]
         )
 
         def decode_flagged(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -595,17 +664,25 @@ class PackedIndex:
         )
 
     def _wand_topk_distributed(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
+        """Fully distributed block-max WAND for head-term territory
+        (metadata too large for the driver).  NOTHING row-sized touches
+        the driver: per-term bounds (|query| rows), the rare term's seed
+        block metadata (a handful), θ (k rows).  Candidate membership is
+        the is_target flag riding through the decode kernel; the "blocks
+        overlapping the surviving candidate ranges" set is a salt-local
+        interval join (salts are disjoint doc-id ranges, so overlap can
+        only happen within a salt)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
-        meta_cols = ["term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
-                     "max_tf", "min_dl"]
+        key_cols = ["term_id", "salt", "block_seq", "gen"]
+        meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
         blocks_meta = (
             self._blocks_for(tids).select(*meta_cols)
             .withColumn("ub", self._block_ub(idf_map, k1, b))
             .cache()
         )
 
-        # per-term upper bound over all its blocks
+        # per-term upper bound over all its blocks (one row per term)
         term_ubs = {
             r["term_id"]: r["ub"]
             for r in blocks_meta.groupBy("term_id").agg(F.max("ub").alias("ub")).collect()
@@ -613,30 +690,46 @@ class PackedIndex:
         sum_ub = sum(term_ubs.values())
 
         # ---- pass 1: θ from the rarest term's best blocks -------------
+        # seed block METADATA is tiny (top few blocks of one term) and
+        # safe to collect; their doc payloads are not
         rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
-        seed_blocks = (
-            self._blocks_for([rare["term_id"]])
-            .orderBy(F.desc("max_tf"))
+        seeds = (
+            blocks_meta.filter(F.col("term_id") == rare["term_id"])
+            .orderBy(F.desc("ub"), *key_cols)
             .limit(max(4, (4 * k) // self.config.block_size + 1))
-        )
-        seed_docs = (
-            seed_blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
-            .select("doc_id").distinct()
-        )
-        seed_ids = np.sort(
-            np.array([r["doc_id"] for r in seed_docs.collect()], dtype=np.int64)
+            .collect()
         )
         theta = -math.inf
-        if seed_ids.size:
-            seed_scored = self._score_candidates(seed_ids, tids, qinfo, k1, b)
+        if seeds:
+            seed_iv = _merge_intervals([(m["min_doc"], m["max_doc"]) for m in seeds])
+            seed_keys = {
+                (m["term_id"], m["salt"], m["block_seq"], m["gen"]) for m in seeds
+            }
+            overlap_cond = None
+            for lo, hi in seed_iv:  # few ORed range predicates, JVM filter
+                c = (F.col("min_doc") <= hi) & (F.col("max_doc") >= lo)
+                overlap_cond = c if overlap_cond is None else (overlap_cond | c)
+            seed_kdf = F.broadcast(
+                self.spark.createDataFrame(
+                    [k_ + (True,) for k_ in sorted(seed_keys)], self._KDF_SCHEMA
+                )
+            )
+            theta_kdf = (
+                blocks_meta.filter(overlap_cond)
+                .select(*key_cols)
+                .join(seed_kdf, key_cols, "left")
+                .fillna({"is_target": False})
+            )
             top = (
-                seed_scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k).collect()
+                self._score_flagged_df(theta_kdf, tids, qinfo, k1, b)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
             )
             if len(top) >= k:
                 theta = top[-1]["score"]
 
-        # ---- pass 2: prune blocks by upper bound -----------------------
+        # ---- pass 2: prune blocks by upper bound (distributed filter) --
         if math.isfinite(theta):
             surv_cond = None
             for tid in tids:
@@ -649,28 +742,50 @@ class PackedIndex:
         else:
             surviving = blocks_meta
 
-        surv_keys = surviving.select("term_id", "salt", "block_seq")
-        surv_blocks = self._blocks_for(tids).join(
-            F.broadcast(surv_keys), ["term_id", "salt", "block_seq"], "left_semi"
-        )
-        cand = (
-            surv_blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
-            .select("doc_id").distinct()
-        )
-        cand_ids = np.sort(
-            np.array([r["doc_id"] for r in cand.collect()], dtype=np.int64)
-        )
-        if seed_ids.size:
-            cand_ids = np.union1d(cand_ids, seed_ids)
-        if not cand_ids.size:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+        # ---- pass 3: fused candidate + exact rescore --------------------
+        # any top-k doc appears in >=1 surviving block; its rows in
+        # PRUNED blocks are still needed for the exact score, and those
+        # blocks can only live in the same salt (salts partition the
+        # doc-id space).  Merge the surviving ranges per salt
+        # (applyInPandas: tiny per-group output), then a salt-equi +
+        # range-overlap join picks the blocks to decode.
+        def _merge_iv_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+            ivs = _merge_intervals(
+                list(zip(pdf["min_doc"].tolist(), pdf["max_doc"].tolist()))
+            )
+            return pd.DataFrame(
+                {
+                    "salt": np.full(len(ivs), pdf["salt"].iloc[0], dtype=np.int32),
+                    "lo": [a for a, _ in ivs],
+                    "hi": [c for _, c in ivs],
+                }
             )
 
-        # ---- pass 3: exact rescore of survivors ------------------------
-        scored = self._score_candidates(cand_ids, tids, qinfo, k1, b)
-        blocks_meta.unpersist()
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        surv_iv = (
+            surviving.select("salt", "min_doc", "max_doc")
+            .groupBy("salt")
+            .applyInPandas(_merge_iv_pdf, "salt int, lo long, hi long")
+        )
+        cand_blocks = (
+            blocks_meta.alias("m")
+            .join(
+                surv_iv.alias("iv"),
+                (F.col("m.salt") == F.col("iv.salt"))
+                & (F.col("m.min_doc") <= F.col("iv.hi"))
+                & (F.col("m.max_doc") >= F.col("iv.lo")),
+            )
+            .select(*[F.col(f"m.{c}") for c in key_cols])
+            .distinct()
+        )
+        surv_flag = surviving.select(*key_cols).withColumn("is_target", F.lit(True))
+        kdf = cand_blocks.join(surv_flag, key_cols, "left").fillna(
+            {"is_target": False}
+        )
+        scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # materialize before unpersist would break laziness; leave the
+        # metadata cache to Spark's LRU (it is small: metadata columns only)
+        return out
 
     def _score_candidates(
         self,

@@ -24,11 +24,18 @@ sequence-number idiom):
   * term_dict df/idf is rewritten from the deltas, and doc_num/total_len
     are updated in meta — the reference's lazy IDF-cache invalidation
     (mod.rs:95-107) becomes an eager tiny-table rewrite;
+  * cosine norms are IDF-weighted over ALL doc terms (scoring.rs:377-395),
+    so ANY batch staleness them corpus-wide — apply_batch flips
+    ``meta["norms"]`` off (packed cosine then refuses instead of lying)
+    and ``refresh_norms()`` is the recompute job (SURVEY.md §7.3);
   * ``compact()`` reclaims stale bytes: decode live rows, re-pack at
     gen 0 — the periodic two-phase merge (Iceberg table maintenance).
 
-Table rewrites go through a temp dir + atomic-ish swap, never through a
-driver collect — the same flow works when doc_dict has 10^12 rows.
+Table rewrites go through a temp dir + rename-aside swap (crash between
+the two renames is recoverable at open time — ``recover_dir``), never
+through a driver collect — the same flow works when doc_dict has 10^12
+rows.  Driver-held state per batch is bounded by the BATCH size (the
+upsert/delete id lists), never by the corpus.
 
 Invariant (tested): applying any delta stream then querying ==
 building fresh from the final corpus state.
@@ -37,13 +44,14 @@ building fresh from the final corpus state.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
+from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
 from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
 from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_iter
@@ -51,13 +59,21 @@ from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_ite
 _DECODED = "term_id long, doc_id long, tf long, gen int"
 
 
+from tf_idf_vectorizer_spark.ioutil import recover_dir  # noqa: E402 (re-export)
+
+
 def _swap_write(df: DataFrame, path: str, parts: int) -> None:
-    """Write a replacement table via temp dir + swap (no driver
-    materialization; readers of the old files finish their scans)."""
-    tmp = path + "_new"
+    """Replace a table via write-to-temp + rename-aside + rename-in:
+    at no point is the live path absent together with its predecessor,
+    so a crash at any step is recoverable by ``recover_dir`` (readers
+    of the old files finish their scans; no driver materialization)."""
+    tmp, old = path + "_new", path + "_old"
     df.coalesce(parts).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     # drop any cached plans pinned to this path — without this a new
     # spark.read.parquet(path) can silently serve the PRE-swap bytes
     # from the cache manager (plans match by path)
@@ -71,6 +87,9 @@ class IncrementalIndex:
         self.spark = spark
         self.dir = index_dir
         self.config = config
+        for table in ("term_dict", "doc_dict", "postings"):
+            if recover_dir(f"{index_dir}/{table}"):
+                spark.catalog.refreshByPath(f"{index_dir}/{table}")
 
     def _meta(self) -> dict:
         with open(f"{self.dir}/meta.json") as fh:
@@ -87,14 +106,24 @@ class IncrementalIndex:
         delete_ids: list[int] | None = None,
         key_col: str = "doc_id",
         text_col: str = "text",
+        refresh_norms: bool = False,
     ) -> dict:
         """Apply one micro-batch.  An added id that already exists is an
-        overwrite (old generation's rows become unreachable)."""
+        overwrite (old generation's rows become unreachable).
+
+        On an index built with norms=True the batch invalidates the
+        precomputed cosine norms (IDF moved for every term, so every
+        doc's norm is stale — scoring.rs:377-395 semantics):
+        ``meta["norms"]`` flips False unless ``refresh_norms=True``,
+        which runs :meth:`refresh_norms` after the batch.
+        """
         spark = self.spark
         meta = self._meta()
         gen = int(meta.get("generation", 0)) + 1
         delete_ids = sorted(set(delete_ids or []))
         doc_dict = spark.read.parquet(f"{self.dir}/doc_dict")
+        dd_extra = [c for c in doc_dict.columns
+                    if c not in ("doc_id", "doc_len", "norm", "gen")]
         term_dict = spark.read.parquet(f"{self.dir}/term_dict")
 
         dead_ids = set(delete_ids)
@@ -158,8 +187,21 @@ class IncrementalIndex:
         # ---- adds (add_doc) ----------------------------------------------
         df_add = None
         if adds is not None and adds.count() > 0:
-            tf = term_frequencies(adds, "doc_id", "text").cache()
-            new_doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+            tf = with_effective_tf(
+                term_frequencies(adds, "doc_id", "text"), self.config
+            ).cache()
+            # doc stats derive from the ADDS relation, not the TF rows,
+            # so zero-token docs still land in doc_dict (doc_len 0) and
+            # count in doc_num — same universe as a fresh build
+            new_doc_stats = (
+                adds.select("doc_id")
+                .join(
+                    tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
+                    "doc_id",
+                    "left",
+                )
+                .fillna({"doc_len": 0})
+            )
             n_added, added_len = new_doc_stats.agg(
                 F.count("*"), F.sum("doc_len")
             ).first()
@@ -167,7 +209,8 @@ class IncrementalIndex:
             meta["total_len"] += int(added_len or 0)
 
             tf_ids = tf.select(
-                F.xxhash64("term").alias("term_id"), "term", "doc_id", "tf"
+                F.xxhash64("term").alias("term_id"), "term", "doc_id",
+                F.col("tf_eff").alias("tf"),
             )
             salt_range = meta["salt_range"]
             rows = tf_ids.join(new_doc_stats, "doc_id").select(
@@ -194,8 +237,9 @@ class IncrementalIndex:
                 new_doc_stats.select(
                     "doc_id",
                     "doc_len",
-                    F.lit(0.0).alias("norm"),  # cosine norms stale by design
+                    F.lit(0.0).alias("norm"),
                     F.lit(gen).alias("gen"),
+                    *[F.lit(None).cast("string").alias(c) for c in dd_extra],
                 )
             )
 
@@ -237,25 +281,67 @@ class IncrementalIndex:
         )
 
         meta["generation"] = gen
+        had_norms = bool(meta.get("norms", False))
+        if had_norms:
+            # every term's idf moved -> every doc's norm is stale; never
+            # leave the flag claiming otherwise (silent-wrong cosine)
+            meta["norms"] = False
         # term_dict first (smaller); then doc_dict; then meta
         _swap_write(new_term_dict, f"{self.dir}/term_dict", 2)
-        _swap_write(doc_dict.select("doc_id", "doc_len", "norm", "gen"),
-                    f"{self.dir}/doc_dict", 4)
+        _swap_write(
+            doc_dict.select("doc_id", "doc_len", "norm", "gen", *dd_extra),
+            f"{self.dir}/doc_dict", 4,
+        )
         meta["n_terms"] = int(
             spark.read.parquet(f"{self.dir}/term_dict").count()
         )
+        self._write_meta(meta)
+        if had_norms and refresh_norms:
+            meta = self.refresh_norms()
+        return meta
+
+    # ------------------------------------------------------------------
+    def refresh_norms(self) -> dict:
+        """Recompute every doc's cosine norm against the CURRENT idf
+        table (norm spans ALL doc terms weighted by current IDF,
+        scoring.rs:377-395 — the same cache-invalidation rule as the
+        reference's idf_cache, mod.rs:95-107).  One decode + join + agg
+        job over live postings; no driver materialization."""
+        spark = self.spark
+        meta = self._meta()
+        idx = PackedIndex(spark, self.dir, self.config)
+        decoded = idx.decode_postings(None)
+        live = decoded.join(
+            idx.doc_dict.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
+        )
+        dt = "float" if meta.get("precision", "f32") == "f32" else "double"
+        w = F.col("tf").cast(dt) * F.col("idf").cast(dt)
+        norms = (
+            live.join(idx.term_dict.select("term_id", "idf"), "term_id")
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum((w * w).cast("double"))).alias("new_norm"))
+        )
+        new_dd = (
+            idx.doc_dict.join(norms, "doc_id", "left")
+            .fillna({"new_norm": 0.0})
+            .drop("norm")
+            .withColumnRenamed("new_norm", "norm")
+        )
+        _swap_write(new_dd, f"{self.dir}/doc_dict", 4)
+        meta["norms"] = True
         self._write_meta(meta)
         return meta
 
     # ------------------------------------------------------------------
     def compact(self) -> None:
         """Reclaim stale posting rows: decode, keep (doc_id, gen) pairs
-        that match doc_dict, re-pack everything at generation 0."""
+        that match doc_dict, re-pack everything at generation 0.  No
+        term-dictionary collect: liveness alone decides survival (a term
+        whose df dropped to 0 simply has no live rows left)."""
         spark = self.spark
         meta = self._meta()
         idx = PackedIndex(spark, self.dir, self.config)
-        tids = [r["term_id"] for r in idx.term_dict.select("term_id").collect()]
-        decoded = idx.decode_postings(tids)
+        decoded = idx.decode_postings(None)
         live = decoded.join(
             idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
         )
@@ -274,11 +360,18 @@ class IncrementalIndex:
         packed.repartition("salt").sortWithinPartitions(
             "term_id", "block_seq"
         ).write.partitionBy("salt").mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{self.dir}/postings")
-        shutil.move(tmp, f"{self.dir}/postings")
+        old = f"{self.dir}/postings_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(f"{self.dir}/postings", old)
+        os.rename(tmp, f"{self.dir}/postings")
+        shutil.rmtree(old)
         spark.catalog.refreshByPath(f"{self.dir}/postings")
+        dd_cols = idx.doc_dict.columns
         _swap_write(
-            idx.doc_dict.select("doc_id", "doc_len", "norm", F.lit(0).alias("gen")),
+            idx.doc_dict.select(
+                *[F.lit(0).alias("gen") if c == "gen" else F.col(c) for c in dd_cols]
+            ),
             f"{self.dir}/doc_dict",
             4,
         )
@@ -292,21 +385,40 @@ def stream_updates(
     delta_stream: DataFrame,
     config: EngineConfig = DEFAULT,
     checkpoint_dir: str | None = None,
+    max_batch_rows: int = 1_000_000,
 ):
     """Structured Streaming ingestion surface: a stream of
     (seq, op, doc_id, text) rows applied per micro-batch via
     foreachBatch (FIXTURES.md §4 delta shape; op in add|overwrite|delete).
+
+    Replay resolves LAST-OP-WINS per doc_id in seq order within the
+    batch: a delete sequenced after an add of the same doc removes it
+    from the upserts (and vice versa) — interleavings collapse to the
+    state the full replay would reach.  The per-batch driver collect is
+    bounded by ``max_batch_rows`` (the delta-stream contract: deltas are
+    batch-sized, never corpus-sized); larger batches raise instead of
+    silently OOMing the driver.
+
     Returns the StreamingQuery; caller awaits termination."""
     inc = IncrementalIndex(spark, index_dir, config)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.orderBy("seq").collect()
+        rows = batch_df.orderBy("seq").limit(max_batch_rows + 1).collect()
         if not rows:
             return
-        deletes = [r["doc_id"] for r in rows if r["op"] == "delete"]
-        upserts = {}
-        for r in rows:
-            if r["op"] in ("add", "overwrite"):
+        if len(rows) > max_batch_rows:
+            raise ValueError(
+                f"delta micro-batch exceeds max_batch_rows={max_batch_rows}; "
+                "split the stream or raise the bound"
+            )
+        deletes: set = set()
+        upserts: dict = {}
+        for r in rows:  # seq-ordered: later ops override earlier ones
+            if r["op"] == "delete":
+                upserts.pop(r["doc_id"], None)
+                deletes.add(r["doc_id"])
+            elif r["op"] in ("add", "overwrite"):
+                deletes.discard(r["doc_id"])
                 upserts[r["doc_id"]] = r["text"]
         adds = (
             spark.createDataFrame(
@@ -315,7 +427,7 @@ def stream_updates(
             if upserts
             else None
         )
-        inc.apply_batch(adds=adds, delete_ids=deletes)
+        inc.apply_batch(adds=adds, delete_ids=sorted(deletes))
 
     writer = delta_stream.writeStream.foreachBatch(apply).trigger(availableNow=True)
     if checkpoint_dir:
