@@ -98,7 +98,13 @@ def main() -> None:
     results["query_p95"] = round(
         sorted(lat_warm)[max(0, int(len(lat_warm) * 0.95) - 1)], 3
     )
-    # forced-WAND latency (the 10^12-scale path), for the record
+    # forced-WAND latency (the 10^12-scale path).  auto mode no longer
+    # exercises the WAND plans at this sf (the serving path wins), so
+    # warm their codegen once on a DIFFERENT query, then measure; the
+    # first call is recorded as the cold number.
+    t0 = time.time()
+    idx.bm25_topk(QUERY_MIX[0][1], k=10, mode="wand").collect()
+    results["q_wand_forced_cold"] = round(time.time() - t0, 3)
     t0 = time.time()
     idx.bm25_topk(QUERY_MIX[2][1], k=10, mode="wand").collect()
     results["q_wand_forced"] = round(time.time() - t0, 3)
@@ -156,12 +162,13 @@ def main() -> None:
                 (SF.col("doc_id") % 20 == 0) | (SF.col("doc_id") == n_docs - 1)
             ).select("doc_id", "text")
             _bi(s, warm, f"{tmp}/scale_w{n}", config=cfg_s)
-            # short runs are scheduler-noise-sensitive: best of 2 on the
-            # hi level (the lo level is long and stable within ~2%)
-            trials = 2 if n == hi else 1
+            # this box's wall clock is ±10-20% noisy between runs: take
+            # best-of-2 on BOTH levels so the ratio compares capability
+            # with capability (one lucky/unlucky trial on either side
+            # would swing the efficiency across the 0.8 bar)
             times[n] = min(
                 _build_synth(s, n_docs, f"{tmp}/scale_{n}_{t}", cfg_s)
-                for t in range(trials)
+                for t in range(2)
             )
             s.stop()
         thr_lo = n_docs / times[lo]

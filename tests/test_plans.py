@@ -75,3 +75,26 @@ def test_exact_search_single_shuffle_agg(spark, sf_smoke):
     plan = explain_str(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert has_take_ordered(df)
+
+
+def test_embedding_near_dup_has_no_cartesian(spark, sf_correct):
+    """The default near-dup path must be a bucket equi-join, never an
+    all-pairs CartesianProduct (the 100 TB scale killer)."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_vectorizer_spark.pipeline.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    out = embedding_near_dup(emb, threshold=0.15)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan, plan
+    assert out.count() >= 0  # executes
+
+
+def test_gate_near_dup_has_no_cartesian(spark, sf_correct):
+    import __spark_entry__ as em
+
+    plan = explain_str(em.queries()["embedding_near_dup"](spark, sf_correct))
+    assert "CartesianProduct" not in plan, plan

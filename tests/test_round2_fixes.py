@@ -317,3 +317,56 @@ def test_packed_external_stats(spark, sf_smoke, tmp_path):
     got = _rows(idx.bm25_topk(TERMS, k=15, mode="exact"))
     want = _rows(searcher.similarity("bm25", TERMS, k=15))
     _cmp(got, want, tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 10. bounded single-node serving path == distributed exact path
+# ---------------------------------------------------------------------------
+
+
+def test_driver_path_equals_exact(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "drv_idx")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    idx = PackedIndex(spark, out, CFG)
+    for terms in (TERMS, ["the"], ["zzz_unknown", "spark"]):
+        drv = _rows(idx.bm25_topk(terms, k=15, mode="driver"))
+        ex = _rows(idx.bm25_topk(terms, k=15, mode="exact"))
+        _cmp(drv, ex, tol=1e-9)
+    # auto dispatch picks the driver path at this corpus size
+    assert idx._doc_stats_np() is not None
+
+
+def test_driver_path_liveness_after_batch(spark, sf_smoke, tmp_path):
+    """Driver path must honor MVCC liveness (stale gens dropped)."""
+    out = str(tmp_path / "drv_inc")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    inc = IncrementalIndex(spark, out, CFG)
+    inc.apply_batch(
+        adds=spark.createDataFrame(
+            [(0, "overwritten spark join"), (7000, "spark the anew")],
+            "doc_id long, text string",
+        ),
+        delete_ids=[1],
+    )
+    idx = PackedIndex(spark, out, CFG)
+    drv = _rows(idx.bm25_topk(TERMS, k=15, mode="driver"))
+    ex = _rows(idx.bm25_topk(TERMS, k=15, mode="exact"))
+    _cmp(drv, ex, tol=1e-9)
+
+
+def test_batch_driver_equals_distributed(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "drv_batch")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    idx = PackedIndex(spark, out, CFG)
+    queries = {0: ["spark", "join"], 1: ["the"], 2: ["merge", "query"]}
+    drv = idx.bm25_topk_batch(queries, k=10, mode="auto").collect()
+    ex = idx.bm25_topk_batch(queries, k=10, mode="exact").collect()
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    drv_s, ex_s = sorted(drv, key=key), sorted(ex, key=key)
+    assert [key(r) for r in drv_s] == [key(r) for r in ex_s]
+    for a, b_ in zip(drv_s, ex_s):
+        assert math.isclose(a["score"], b_["score"], rel_tol=1e-9)
+        assert a["doc_len"] == b_["doc_len"]

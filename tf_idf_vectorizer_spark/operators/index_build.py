@@ -55,9 +55,11 @@ from tf_idf_vectorizer_spark.operators.stats import corpus_stats, doc_stats, idf
 
 BLOCK_SCHEMA = (
     "term_id long, salt int, block_seq int, n int, min_doc long, "
-    "max_doc long, max_tf long, min_dl long, max_score double, "
-    "doc_deltas binary, tfs binary"
+    "max_doc long, max_tf long, min_dl long, max_dl long, "
+    "max_score double, doc_deltas binary, tfs binary"
 )
+# min_dl yields the BM25 upper bound; max_dl the LOWER bound the WAND
+# driver-theta fast path needs (a conservative per-doc score floor)
 # postings carry an MVCC generation: a doc's live rows are those whose
 # gen matches its doc_dict row (overwrites bump the gen; stale rows are
 # dropped by the scoring join and reclaimed at compaction)
@@ -223,6 +225,7 @@ def pack_blocks_jvm(
             F.element_at("pairs", -1)["doc_id"].alias("max_doc"),
             F.array_max(F.transform("pairs", lambda x: x["tf"])).alias("max_tf"),
             F.array_min(F.transform("pairs", lambda x: x["doc_len"])).alias("min_dl"),
+            F.array_max(F.transform("pairs", lambda x: x["doc_len"])).alias("max_dl"),
             *(["idf"] if has_idf else []),
             "pairs",
         )
@@ -259,7 +262,7 @@ def pack_blocks_jvm(
     )
     return g.select(
         "term_id", "salt", "block_seq", "n", "min_doc", "max_doc",
-        "max_tf", "min_dl", "max_score",
+        "max_tf", "min_dl", "max_dl", "max_score",
         doc_deltas.alias("doc_deltas"),
         tf_bytes.alias("tfs"),
         F.pmod(F.col("term_id"), F.lit(term_buckets)).cast("int").alias("bucket"),
@@ -324,9 +327,12 @@ def build_index(
         F.xxhash64("term").alias("term_id"), "term", "df", "idf"
     )
     term_dict.cache()
+    # term_bytes feeds the query layer's MEMORY-based decision on whether
+    # the dictionary can be pinned on the driver (count alone misleads:
+    # 2M 4-char terms and 2M 500-byte URLs are very different pins)
     if check_collisions:
-        n_terms, n_ids = term_dict.agg(
-            F.count("*"), F.countDistinct("term_id")
+        n_terms, term_bytes, n_ids = term_dict.agg(
+            F.count("*"), F.sum(F.length("term")), F.countDistinct("term_id")
         ).first()
         if n_ids != n_terms:
             # astronomically unlikely; re-mint with a salt to stay correct
@@ -334,7 +340,9 @@ def build_index(
                 F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
             )
     else:
-        n_terms = term_dict.count()
+        n_terms, term_bytes = term_dict.agg(
+            F.count("*"), F.sum(F.length("term"))
+        ).first()
     _mark("tf_and_term_dict")
 
     # cosine norms need a tf-idf join over every posting; the BM25 query
@@ -459,6 +467,7 @@ def build_index(
         "doc_num": int(doc_num),
         "total_len": int(total_len),
         "n_terms": int(n_terms),
+        "term_bytes": int(term_bytes or 0),
         "salt_range": int(salt_range),
         "n_salts": int(n_salts),
         "term_buckets": int(config.term_buckets),

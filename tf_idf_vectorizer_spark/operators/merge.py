@@ -96,7 +96,9 @@ def merge_indexes(
         (F.lit(float(doc_num)) / (F.col("df") + F.lit(1.0))).cast(dt).alias("idf"),
     )
     term_dict.cache()
-    n_terms = term_dict.count()
+    n_terms, term_bytes = term_dict.agg(
+        F.count("*"), F.sum(F.length("term"))
+    ).first()
 
     if norms:
         w = F.col("tf").cast(dt) * F.col("idf").cast(dt)
@@ -161,6 +163,7 @@ def merge_indexes(
         "doc_num": doc_num,
         "total_len": total_len,
         "n_terms": int(n_terms),
+        "term_bytes": int(term_bytes or 0),
         "salt_range": int(salt_range),
         "n_salts": int(n_salts),
         "term_buckets": int(config.term_buckets),

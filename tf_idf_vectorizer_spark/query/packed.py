@@ -7,21 +7,33 @@ this module prunes whole compressed blocks with BM25 upper bounds before
 any decode happens, then exact-rescoring the survivors keeps the top-k
 rank-identical to the exact path (verified by tests).
 
-Distributed block-max WAND, three bounded passes:
+Block-max WAND, three bounded passes:
 
-  1. THETA pass — decode only the rarest query term's highest-bound
-     blocks (a few KB), exact-score those docs; the k-th score is a safe
-     LOWER bound θ on the final k-th score (it is achieved by real docs).
-  2. PRUNE pass — over block METADATA ONLY (parquet column pruning never
+  1. THETA — a safe LOWER bound θ on the final k-th score.  Fast path
+     (fresh index, all idf > 1, rare term driver-sized): the rare term's
+     tf varints ride along with the metadata collect and θ is computed
+     on the driver with each block's max_dl as the doc-length bound — a
+     per-doc score FLOOR, so its k-th largest is valid and NO Spark job
+     runs.  Fallback: decode the rarest term's highest-bound blocks and
+     exact-score those docs in one fused job.
+  2. PRUNE — over block METADATA ONLY (parquet column pruning never
      reads the compressed payloads): a block of term t survives iff
      ub_block(t) + Σ_{t'≠t} term_ub(t') ≥ θ.  Any doc appearing only in
      pruned blocks has total score < θ and cannot enter the top-k
      (proof: its per-term block bounds are each dominated by the pruning
      inequality of its best term's block).
-  3. RESCORE pass — decode blocks whose doc-id range intersects the
-     surviving candidate set (binary-search check against a broadcast
-     sorted id array — vectorized, no join explosion), exact BM25 via
-     one groupBy(doc_id).sum, then TakeOrderedAndProject top-k.
+  3. RESCORE — decode surviving blocks plus the pruned blocks whose
+     doc-id range overlaps them (the is_target flag rides through the
+     decode kernel; overlap is interval math — driver-side when the
+     metadata fits, a salt-local interval join otherwise), exact BM25
+     via one groupBy(doc_id).sum, then TakeOrderedAndProject top-k.
+     Candidate doc ids are NEVER collected.
+
+Below WAND territory, auto mode dispatches to a bounded SINGLE-NODE
+serving path (the reference's own regime, scoring.rs:215-288): one
+pruned scan+collect job + numpy kernels, gated on doc stats fitting the
+driver and driver-sized posting volume; the distributed exact path
+covers everything else.
 
 Upper bound per block (param-free metadata max_tf/min_dl, see
 index_build.py):  ub = ln(idf) * (k1+1)·max_tf / (max_tf + k1·(1-b+b·min_dl/avg_len)),
@@ -132,13 +144,23 @@ class PackedIndex:
         return self._postings_df
 
     # vocab small enough to pin on the driver -> zero-job term lookup;
-    # above this, each query pays one tiny dictionary-scan job instead
+    # above either bound, each query pays one tiny dictionary-scan job
+    # instead.  The byte bound is what actually protects driver RSS
+    # (term_bytes is recorded at build time; the Python dict overhead is
+    # ~100 bytes/entry on top, which the row bound caps)
     DRIVER_DICT_MAX_TERMS = 2_000_000
+    DRIVER_DICT_MAX_BYTES = 256 * 1024 * 1024
+
+    def _can_pin_dict(self) -> bool:
+        return (
+            self.meta.get("n_terms", 1 << 62) <= self.DRIVER_DICT_MAX_TERMS
+            and self.meta.get("term_bytes", 0) <= self.DRIVER_DICT_MAX_BYTES
+        )
 
     def _query_info(self, terms: list[str]) -> list[dict]:
         """Lookup of the query terms' dictionary rows (the broadcast
         'hot dictionary' — a handful of rows per query)."""
-        if self.meta.get("n_terms", 1 << 62) <= self.DRIVER_DICT_MAX_TERMS:
+        if self._can_pin_dict():
             if not hasattr(self, "_term_map"):
                 self._term_map = {
                     r["term"]: r.asDict()
@@ -239,6 +261,121 @@ class PackedIndex:
     # volume is large — the 10^12-doc regime the index is designed for
     WAND_THRESHOLD = 5_000_000
 
+    # ---- bounded single-node serving path ----------------------------
+    # The reference evaluates queries in one address space (scoring.rs
+    # OptimizedDocIter) — its 20 ms/query regime.  When doc stats fit on
+    # the driver (<= DRIVER_DOC_STATS_MAX rows ~ a few hundred MB numpy)
+    # and the query's posting volume is bounded, the whole query runs as
+    # ONE pruned scan+collect job plus numpy kernels: no Python workers,
+    # no shuffle, no per-job scheduling floor.  Past either bound the
+    # distributed paths take over — this is a serving-tier optimization,
+    # not the scale path.
+    DRIVER_DOC_STATS_MAX = 10_000_000
+    DRIVER_VOLUME_MAX = 20_000_000
+
+    def _doc_stats_np(self):
+        """Pinned (sorted doc_id, doc_len, gen) arrays, or None when the
+        corpus exceeds the driver bound."""
+        if not hasattr(self, "_dstats"):
+            if self.doc_num > self.DRIVER_DOC_STATS_MAX:
+                self._dstats = None
+            else:
+                pdf = self.doc_dict.select("doc_id", "doc_len", "gen").toPandas()
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                order = np.argsort(ids, kind="stable")
+                self._dstats = (
+                    ids[order],
+                    pdf["doc_len"].to_numpy(np.float64)[order],
+                    pdf["gen"].to_numpy(np.int64)[order],
+                )
+        return self._dstats
+
+    def _decode_live_driver(self, tids: list[int]) -> dict[int, tuple]:
+        """One pruned scan+collect of the terms' blocks; numpy decode +
+        liveness filter against the pinned doc stats.  Returns
+        {term_id: (doc_ids, tfs, doc_lens)} of LIVE rows.
+
+        The decode is a SINGLE vectorized pass over all blocks: varint
+        streams are self-delimiting, so the concatenated payloads decode
+        in one call, and a segmented cumsum (first value of every block
+        is an absolute doc id) restores ids without any per-block loop.
+        """
+        sids, dls, gens = self._doc_stats_np()
+        rows = (
+            self._blocks_for(tids)
+            .select("term_id", "n", "doc_deltas", "tfs", "gen")
+            .collect()
+        )
+        if not rows:
+            return {}
+        n = np.array([r["n"] for r in rows], dtype=np.int64)
+        deltas = decode_varint(
+            b"".join(bytes(r["doc_deltas"]) for r in rows)
+        ).astype(np.int64)
+        tf = decode_varint(b"".join(bytes(r["tfs"]) for r in rows)).astype(
+            np.float64
+        )
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        total = np.cumsum(deltas)
+        corr = np.zeros(len(rows), dtype=np.int64)
+        corr[1:] = total[starts[1:] - 1]
+        dids = total - np.repeat(corr, n)
+        term = np.repeat(np.array([r["term_id"] for r in rows], dtype=np.int64), n)
+        gen = np.repeat(np.array([r["gen"] for r in rows], dtype=np.int64), n)
+        pos = np.searchsorted(sids, dids)
+        pc = np.minimum(pos, sids.size - 1)
+        ok = (pos < sids.size) & (sids[pc] == dids) & (gens[pc] == gen)
+        dids, term, tf, dl = dids[ok], term[ok], tf[ok], dls[pc[ok]]
+        order = np.argsort(term, kind="stable")
+        term_s = term[order]
+        dids_s, tf_s, dl_s = dids[order], tf[order], dl[order]
+        uniq, first = np.unique(term_s, return_index=True)
+        bounds = np.append(first[1:], term_s.size)
+        return {
+            int(u): (dids_s[s:e], tf_s[s:e], dl_s[s:e])
+            for u, s, e in zip(uniq, first, bounds)
+        }
+
+    @staticmethod
+    def _topk_rows(doc_ids, scores, doc_lens, k):
+        """(score desc, doc_id asc) top-k over parallel arrays."""
+        if doc_ids.size == 0:
+            return []
+        if doc_ids.size > 4 * k:
+            kth = np.partition(scores, doc_ids.size - k)[doc_ids.size - k]
+            mask = scores >= kth
+            doc_ids, scores, doc_lens = doc_ids[mask], scores[mask], doc_lens[mask]
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return [
+            (int(doc_ids[i]), float(scores[i]), int(doc_lens[i])) for i in order
+        ]
+
+    def _bm25_driver(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
+        """Exact BM25 via the single-node path (rank-identical to the
+        distributed exact path; tested)."""
+        tids = [r["term_id"] for r in qinfo]
+        idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+        live = self._decode_live_driver(tids)
+        ids_all, sc_all, dl_all = [], [], []
+        for t, (dids, tf, dl) in live.items():
+            denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
+            sc_all.append(math.log(idf_map[t]) * (k1 + 1.0) * tf / denom)
+            ids_all.append(dids)
+            dl_all.append(dl)
+        if not ids_all:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
+        ids = np.concatenate(ids_all)
+        uids, inv = np.unique(ids, return_inverse=True)
+        sums = np.bincount(inv, weights=np.concatenate(sc_all))
+        udl = np.zeros(uids.size)
+        udl[inv] = np.concatenate(dl_all)
+        rows = self._topk_rows(uids, sums, udl, k)
+        return self.spark.createDataFrame(
+            rows, "doc_id long, score double, doc_len long"
+        )
+
     def bm25_topk(
         self,
         terms: list[str],
@@ -264,12 +401,22 @@ class PackedIndex:
         tids = [r["term_id"] for r in qinfo]
         if mode == "auto":
             volume = sum(r["df"] for r in qinfo)
-            mode = "exact" if volume < self.WAND_THRESHOLD else "wand"
+            if volume >= self.WAND_THRESHOLD:
+                mode = "wand"
+            elif (
+                volume <= self.DRIVER_VOLUME_MAX
+                and self._doc_stats_np() is not None
+            ):
+                mode = "driver"
+            else:
+                mode = "exact"
+        if mode == "driver":
+            return self._bm25_driver(qinfo, k, k1, b)
         if mode == "exact":
             scored = self._score_decoded(self.decode_postings(tids), qinfo, k1, b)
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if mode != "wand":
-            raise ValueError(f"mode must be auto|exact|wand, got {mode!r}")
+            raise ValueError(f"mode must be auto|exact|wand|driver, got {mode!r}")
         return self._wand_topk(qinfo, k, k1, b)
 
     # ------------------------------------------------------------------
@@ -353,6 +500,7 @@ class PackedIndex:
         k: int = 10,
         k1: float | None = None,
         b: float | None = None,
+        mode: str = "auto",
     ) -> DataFrame:
         """MANY queries in ONE Spark job: -> (query_id, doc_id, score,
         doc_len) with per-query top-k via a window (SURVEY.md §2.8).
@@ -360,7 +508,10 @@ class PackedIndex:
         This is the engine's answer to per-query scheduler latency: the
         ~1s local-mode floor amortizes over the whole batch, and at
         cluster scale the postings scan for all queries' terms is one
-        pruned pass."""
+        pruned pass.  mode='auto' additionally takes the bounded
+        single-node path (decode each distinct term once, reuse its
+        per-term partials across every query that contains it) when doc
+        stats are pinned and total volume is driver-sized."""
         k1 = self.config.k1 if k1 is None else k1
         b = self.config.b if b is None else b
         all_terms = sorted({t for ts in queries.values() for t in ts})
@@ -375,6 +526,10 @@ class PackedIndex:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, doc_len long"
             )
+        if mode == "auto":
+            volume = sum(r["df"] for r in qinfo.values())
+            if volume <= self.DRIVER_VOLUME_MAX and self._doc_stats_np() is not None:
+                return self._bm25_batch_driver(queries, qinfo, k, k1, b)
         qdf = self.spark.createDataFrame(
             pairs, "query_id long, term_id long, idf double"
         )
@@ -400,6 +555,39 @@ class PackedIndex:
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .drop("rn")
+        )
+
+    def _bm25_batch_driver(
+        self, queries: dict, qinfo: dict, k: int, k1: float, b: float
+    ) -> DataFrame:
+        """Batch single-node path: one pruned scan+collect for ALL
+        distinct terms, per-term partial scores computed once and shared
+        across queries containing the term."""
+        tids = sorted({r["term_id"] for r in qinfo.values()})
+        idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo.values()}
+        live = self._decode_live_driver(tids)
+        partials: dict[int, tuple] = {}
+        for t, (dids, tf, dl) in live.items():
+            denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
+            partials[t] = (dids, math.log(idf_map[t]) * (k1 + 1.0) * tf / denom, dl)
+        out_rows = []
+        term_id_of = {term: r["term_id"] for term, r in qinfo.items()}
+        for qid, terms in queries.items():
+            tl = [term_id_of[t] for t in set(terms) if t in term_id_of]
+            parts = [partials[t] for t in tl if t in partials]
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            sums = np.bincount(inv, weights=np.concatenate([p[1] for p in parts]))
+            udl = np.zeros(uids.size)
+            udl[inv] = np.concatenate([p[2] for p in parts])
+            out_rows.extend(
+                (int(qid), d, s, dl_)
+                for d, s, dl_ in self._topk_rows(uids, sums, udl, k)
+            )
+        return self.spark.createDataFrame(
+            out_rows, "query_id long, doc_id long, score double, doc_len long"
         )
 
     # ------------------------------------------------------------------
@@ -489,6 +677,9 @@ class PackedIndex:
     # fully distributed WAND (driver can't hold the metadata); below it,
     # planning happens driver-side and the whole query is 2 Spark jobs
     META_COLLECT_MAX = 200_000
+    # ride the rare term's tf payload with the metadata collect (for the
+    # job-free driver θ) only while it stays driver-sized (~2 bytes/row)
+    DRIVER_THETA_MAX_DF = 200_000
 
     def _wand_topk(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         """Block-max WAND with driver-side planning when the query's
@@ -502,6 +693,20 @@ class PackedIndex:
         when metadata is too large (true head-term territory)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+        rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
+        # driver-side θ: when every posting row is live (gen 0), every
+        # query idf is > 1 (no negative contributions), and the rarest
+        # term's tf payload is driver-sized, ride its tf varints along
+        # with the metadata collect and bound θ WITHOUT a Spark job:
+        # score each rare posting with its block's max_dl — a per-doc
+        # LOWER bound, so the k-th largest is a valid θ (the fused theta
+        # job is the fallback).  Cuts forced WAND from 3 jobs to 2.
+        use_driver_theta = (
+            int(self.meta.get("generation", 0)) == 0
+            and min(float(r["idf"]) for r in qinfo) > 1.0
+            and int(rare["df"]) <= self.DRIVER_THETA_MAX_DF
+            and "max_dl" in self._postings().columns
+        )
         # gen is part of the physical block identity: pack_blocks_jvm
         # restarts block_seq per generation, so after apply_batch the
         # same (term_id, salt, block_seq) exists once PER GEN — keys
@@ -509,8 +714,16 @@ class PackedIndex:
         # and double-count their scores
         meta_cols = ["term_id", "salt", "block_seq", "gen", "min_doc",
                      "max_doc", "max_tf", "min_dl"]
+        sel = [F.col(c) for c in meta_cols]
+        if use_driver_theta:
+            sel += [
+                F.col("max_dl"),
+                F.when(
+                    F.col("term_id") == rare["term_id"], F.col("tfs")
+                ).alias("rare_tfs"),
+            ]
         meta_df = (
-            self._blocks_for(tids).select(*meta_cols)
+            self._blocks_for(tids).select(*sel)
             .withColumn("ub", self._block_ub(idf_map, k1, b))
         )
         metas = meta_df.limit(self.META_COLLECT_MAX + 1).collect()
@@ -529,14 +742,30 @@ class PackedIndex:
             term_ubs[m["term_id"]] = max(term_ubs.get(m["term_id"], 0.0), m["ub"])
         sum_ub = sum(term_ubs.values())
 
-        # ---- job 1: fused theta pass -----------------------------------
-        rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
+        theta = -math.inf
+        if use_driver_theta:
+            # ---- θ without a job: conservative scores of the rare
+            # term's postings (tf decoded from the collected varints,
+            # doc_len bounded by the block's max_dl)
+            ests = []
+            ln_idf = math.log(float(rare["idf"]))
+            for m in metas:
+                if m["term_id"] != rare["term_id"] or m["rare_tfs"] is None:
+                    continue
+                tf = decode_tfs(bytes(m["rare_tfs"])).astype(np.float64)
+                denom = tf + k1 * (1.0 - b + b * float(m["max_dl"]) / self.avg_len)
+                ests.append(ln_idf * (k1 + 1.0) * tf / denom)
+            if ests:
+                est = np.concatenate(ests)
+                if est.size >= k:
+                    theta = float(np.partition(est, -k)[-k])
+
+        # ---- job 1 (fallback): fused theta pass -------------------------
         rare_blocks = sorted(
             (m for m in metas if m["term_id"] == rare["term_id"]),
             key=lambda m: -m["ub"],
         )[: max(4, (4 * k) // self.config.block_size + 1)]
-        theta = -math.inf
-        if rare_blocks:
+        if not math.isfinite(theta) and rare_blocks and not use_driver_theta:
             seed_keys = {_key(m) for m in rare_blocks}
             seed_iv = _merge_intervals(
                 [(m["min_doc"], m["max_doc"]) for m in rare_blocks]
