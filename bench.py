@@ -140,44 +140,63 @@ def main() -> None:
     # same-shape warm-up build first amortizes Janino codegen of the
     # JVM varint-encoder expressions (constant ~10s otherwise).
     if RUN_SCALING:
+        # Each level runs in a FRESH spark-submit JVM (the literal north
+        # rule deployment: spark-submit --py-files at two cluster
+        # sizes).  In-process session recycling cannot do this honestly:
+        # the JVM is launched by the FIRST session, so later sessions'
+        # -XX:ActiveProcessorCount is silently ignored and GC/JIT pools
+        # stay sized for the whole machine.
+        import subprocess
+
         lo = int(os.environ.get("BENCH_SCALE_LO", "1"))
         hi = lo * 4
         n_docs = int(os.environ.get("BENCH_SCALING_DOCS", "150000"))
-        times: dict[int, float] = {}
-        from tf_idf_vectorizer_spark.sources.synth import synth_corpus
-        from tf_idf_vectorizer_spark.operators.index_build import build_index as _bi
-        from pyspark.sql import functions as SF
-
+        here = os.path.dirname(os.path.abspath(__file__))
+        zip_path = f"{tmp}/engine.zip"
+        subprocess.run(
+            ["zip", "-qr", zip_path, "tf_idf_vectorizer_spark",
+             "-x", "*__pycache__*"],
+            cwd=here, check=True,
+        )
+        level: dict[int, dict] = {}
         for n in (lo, hi):
-            cfg_s = EngineConfig(
-                n_salts=max(2 * n, 2), block_size=128, term_buckets=64
-            )
-            s = get_spark(
-                f"bench{n}", master=f"local[{n}]",
-                shuffle_partitions=max(2 * n, 2), processor_count=n,
-            )
-            # warm-up: 1/20th of the docs, same max doc id (same
-            # salt_range literal -> codegen cache hits), different rows
-            warm = synth_corpus(s, n_docs, vocab=50_000, seed=42).filter(
-                (SF.col("doc_id") % 20 == 0) | (SF.col("doc_id") == n_docs - 1)
-            ).select("doc_id", "text")
-            _bi(s, warm, f"{tmp}/scale_w{n}", config=cfg_s)
-            # this box's wall clock is ±10-20% noisy between runs: take
-            # best-of-2 on BOTH levels so the ratio compares capability
-            # with capability (one lucky/unlucky trial on either side
-            # would swing the efficiency across the 0.8 bar)
-            times[n] = min(
-                _build_synth(s, n_docs, f"{tmp}/scale_{n}_{t}", cfg_s)
-                for t in range(2)
-            )
-            s.stop()
-        thr_lo = n_docs / times[lo]
-        thr_hi = n_docs / times[hi]
+            # IDENTICAL job at both levels (same input, same salting —
+            # sized for the hi level); runtime knobs only differ
+            cmd = [
+                "spark-submit", "--master", f"local[{n}]",
+                "--py-files", zip_path,
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+                "--conf", f"spark.sql.shuffle.partitions={max(2 * n, 2)}",
+                "--conf", "spark.ui.enabled=false",
+                "--conf",
+                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+                "--conf",
+                f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={n}",
+                f"{here}/jobs/scaling_build.py",
+                "--docs", str(n_docs), "--out", f"{tmp}/scale_{n}",
+                "--salts", str(max(2 * hi, 2)), "--trials", "2", "--ctl",
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if not line:
+                sys.stderr.write(proc.stderr[-2000:])
+                raise RuntimeError(f"scaling level local[{n}] produced no JSON")
+            level[n] = json.loads(line[-1])
+        thr_lo = level[lo]["docs_per_sec"]
+        thr_hi = level[hi]["docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        # the control loop (pure codegen, zero shuffle/IO/Python) is the
+        # scaling CEILING of this single box: N->4N threads share turbo
+        # headroom and L3, which 4 separate machines would not — report
+        # the build's efficiency against it, not just against 4.0
+        ctl_eff = (level[lo]["ctl_sec"] / level[hi]["ctl_sec"]) / (hi / lo)
         results.update(
             {
                 f"scaling_local{lo}_docs_per_sec": round(thr_lo, 1),
                 f"scaling_local{hi}_docs_per_sec": round(thr_hi, 1),
-                "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+                "scaling_efficiency": round(eff, 3),
+                "scaling_ctl_efficiency": round(ctl_eff, 3),
+                "scaling_efficiency_vs_ceiling": round(eff / ctl_eff, 3),
                 "scaling_docs": n_docs,
             }
         )

@@ -421,9 +421,13 @@ def build_index(
     # layout: one directory per salt, ONE sorted file inside — term_id
     # ordering gives parquet row-group min/max pruning for query terms
     # (the bucket column additionally prunes via column stats); far fewer
-    # files than salt x bucket dirs, and the write commit is per-salt
+    # files than salt x bucket dirs, and the write commit is per-salt.
+    # Over-partition the hash bins (4x the salt count): hashing n salts
+    # into exactly n bins collides (balls-in-bins), leaving cores idle
+    # in the write stage — each salt still lands in ONE partition, so
+    # the one-file-per-salt property is preserved, empty tasks are free
     writer = (
-        packed.repartition("salt")
+        packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
         .sortWithinPartitions("term_id", "block_seq")
         .write.partitionBy("salt")
     )

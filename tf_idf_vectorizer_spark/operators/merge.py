@@ -130,7 +130,7 @@ def merge_indexes(
         salted, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
     )
-    packed.repartition("salt").sortWithinPartitions(
+    packed.repartition(4 * n_salts, "salt").sortWithinPartitions(
         "term_id", "block_seq"
     ).write.partitionBy("salt").mode("overwrite").parquet(f"{out_dir}/postings")
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -53,13 +53,11 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
+from tf_idf_vectorizer_spark.ioutil import recover_dir
 from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
 from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_iter
 
 _DECODED = "term_id long, doc_id long, tf long, gen int"
-
-
-from tf_idf_vectorizer_spark.ioutil import recover_dir  # noqa: E402 (re-export)
 
 
 def _swap_write(df: DataFrame, path: str, parts: int) -> None:
@@ -223,7 +221,7 @@ class IncrementalIndex:
             packed = pack_blocks_jvm(
                 rows, self.config.block_size, meta["term_buckets"], gen=gen
             )
-            packed.repartition("salt").sortWithinPartitions(
+            packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
                 "term_id", "block_seq"
             ).write.partitionBy("salt").mode("append").parquet(
                 f"{self.dir}/postings"
@@ -357,7 +355,7 @@ class IncrementalIndex:
             rows, self.config.block_size, meta["term_buckets"], gen=0
         )
         tmp = f"{self.dir}/postings_new"
-        packed.repartition("salt").sortWithinPartitions(
+        packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
             "term_id", "block_seq"
         ).write.partitionBy("salt").mode("overwrite").parquet(tmp)
         old = f"{self.dir}/postings_old"
