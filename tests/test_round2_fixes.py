@@ -370,3 +370,35 @@ def test_batch_driver_equals_distributed(spark, sf_smoke, tmp_path):
     for a, b_ in zip(drv_s, ex_s):
         assert math.isclose(a["score"], b_["score"], rel_tol=1e-9)
         assert a["doc_len"] == b_["doc_len"]
+
+
+# ---------------------------------------------------------------------------
+# 11. per-batch lineage + serving warm-up
+# ---------------------------------------------------------------------------
+
+
+def test_batch_lineage_rows(spark, sf_smoke, tmp_path):
+    """apply_batch appends per-salt manifest rows for its generation
+    (north rule: per-partition lineage for the maintenance path too)."""
+    out = str(tmp_path / "lineage_idx")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    IncrementalIndex(spark, out, CFG).apply_batch(
+        adds=spark.createDataFrame([(9000, "spark lineage probe")],
+                                   "doc_id long, text string")
+    )
+    man = spark.read.parquet(f"{out}/manifest")
+    phases = {r["phase"] for r in man.select("phase").distinct().collect()}
+    assert "postings" in phases and "batch_gen=1" in phases
+    batch_rows = man.filter(F.col("phase") == "batch_gen=1").collect()
+    assert sum(r["rows_in"] for r in batch_rows) == 3  # three tokens added
+
+
+def test_warm_then_query(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "warm_idx")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    idx = PackedIndex(spark, out, CFG).warm()
+    got = _rows(idx.bm25_topk(TERMS, k=10))
+    want = _rows(idx.bm25_topk(TERMS, k=10, mode="exact"))
+    _cmp(got, want, tol=1e-9)

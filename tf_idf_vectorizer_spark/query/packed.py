@@ -143,6 +143,19 @@ class PackedIndex:
     def _postings(self) -> DataFrame:
         return self._postings_df
 
+    def warm(self) -> "PackedIndex":
+        """Serving-tier warm-up: pin the term dictionary and doc stats
+        (when driver-sized), force the postings file listing, and run
+        one tiny decode so codegen + Python workers are hot.  Cuts the
+        first query's ~2-3 s cold cost; returns self for chaining."""
+        if self._can_pin_dict():
+            self._query_info([])  # builds the pinned term map
+        self._doc_stats_np()
+        first = self.term_dict.select("term_id").first()
+        if first is not None:
+            self.decode_postings([first["term_id"]]).limit(1).collect()
+        return self
+
     # vocab small enough to pin on the driver -> zero-job term lookup;
     # above either bound, each query pays one tiny dictionary-scan job
     # instead.  The byte bound is what actually protects driver RSS

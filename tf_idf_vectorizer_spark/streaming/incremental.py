@@ -228,6 +228,28 @@ class IncrementalIndex:
             )
             spark.catalog.refreshByPath(f"{self.dir}/postings")
 
+            # per-batch lineage (north rule: per-partition lineage +
+            # metrics): one manifest row per salt touched by this
+            # generation's blocks, computed from the WRITTEN metadata
+            # columns only (payloads never read)
+            written = spark.read.parquet(f"{self.dir}/postings").filter(
+                F.col("gen") == gen
+            )
+            lineage = written.groupBy("salt").agg(
+                F.sum("n").alias("rows_in"),
+                F.expr(
+                    "bit_xor(xxhash64(term_id, block_seq, n, min_doc, max_doc))"
+                ).alias("checksum"),
+            )
+            (
+                lineage.withColumn("phase", F.lit(f"batch_gen={gen}"))
+                .withColumn("rows_out", F.col("rows_in"))
+                .withColumn("ts", F.current_timestamp())
+                .select("salt", "phase", "rows_in", "rows_out", "checksum", "ts")
+                .write.mode("append")
+                .parquet(f"{self.dir}/manifest")
+            )
+
             df_add = tf_ids.groupBy("term_id", "term").agg(
                 F.count("*").alias("df_add")
             )
