@@ -427,6 +427,80 @@ def q_bm25_packed_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
 
 
+STC_UPDATES = [(0, "spark", 7), (1, "the", 0), (2, "zzznew", 3)]
+STC_TERMS = ["spark", "zzznew", "the"]
+
+
+def q_set_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level point upsert (set_term_count, term.rs:113-122): build
+    an index over the doc_id<200 slice, patch exact counts (0 deletes,
+    new vocab allowed), then BM25 over the patched index — the oracle
+    recomputes the same patch in SQL."""
+    key = f"{sf_dir}#stc"
+    if key not in _PACKED:
+        import tempfile
+
+        from tf_idf_vectorizer_spark.config import EngineConfig
+        from tf_idf_vectorizer_spark.operators.index_build import build_index
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex
+        from tf_idf_vectorizer_spark.streaming import IncrementalIndex
+
+        cfg = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+        docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+        out = tempfile.mkdtemp(prefix="gate_idx_stc_") + "/idx"
+        build_index(spark, docs.select("doc_id", "text"), out,
+                    config=cfg, precision="f64")
+        inc = IncrementalIndex(spark, out, cfg)
+        inc.set_term_counts(
+            spark.createDataFrame(
+                STC_UPDATES, "doc_id long, term string, count long"
+            )
+        )
+        _PACKED[key] = PackedIndex(spark, out, cfg)
+    hits = _PACKED[key].bm25_topk(STC_TERMS, k=1_000_000, mode="exact")
+    return _round_topk(hits.select("doc_id", "score", "doc_len"), K)
+
+
+def _set_term_counts_sql() -> str:
+    vals = ", ".join(f"({d}, '{t}', {c})" for d, t, c in STC_UPDATES)
+    tl = ", ".join(f"'{t}'" for t in STC_TERMS)
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents WHERE trim(text) <> '' AND doc_id < 200
+),
+tf0 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+u(doc_id, term, cnt) AS (SELECT * FROM (VALUES {vals})),
+tf AS (
+    SELECT doc_id, term, coalesce(cnt, tf)::BIGINT AS tf
+    FROM tf0 FULL OUTER JOIN u USING(doc_id, term)
+    WHERE coalesce(cnt, tf) > 0
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE doc_id < 200),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, df,
+               CAST((SELECT n_docs FROM n) AS DOUBLE) / (df + 1) AS idf
+        FROM stats),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf GROUP BY doc_id),
+avgdl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n_docs FROM n) AS avg_len FROM dl),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tl})),
+partials AS (
+    SELECT tf.doc_id,
+           sum((ln(idf) * (tf * 2.2::DOUBLE))
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+                   + (0.75::DOUBLE * dl.doc_len) / (SELECT avg_len FROM avgdl)))
+           ) AS raw
+    FROM tf JOIN idf USING(term) JOIN dl USING(doc_id)
+    WHERE term IN ({tl})
+    GROUP BY tf.doc_id
+)
+SELECT c.doc_id, round(coalesce(p.raw, 0.0), 6) AS score,
+       coalesce(dl.doc_len, 0)::BIGINT AS doc_len
+FROM cand c LEFT JOIN partials p USING(doc_id) LEFT JOIN dl USING(doc_id)
+ORDER BY score DESC, c.doc_id ASC LIMIT {K}
+"""
+
+
 BATCH_QUERIES = {0: ["spark", "join"], 1: ["the"], 2: ["merge", "query"]}
 
 
@@ -723,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "merge_indexes": q_merge_indexes,
         "bm25_packed_external": q_bm25_packed_external,
+        "set_term_counts": q_set_term_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash,
@@ -930,6 +1005,7 @@ FROM tf WHERE doc_id < 40 AND tf - 1 > 0""",
         "title_sort": _bm25_title_sort_sql(),
         "merge_indexes": _bm25_sql(BM25_TERMS, K),
         "bm25_packed_external": _oracle_sql_external(),
+        "set_term_counts": _set_term_counts_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "frame_sample_plan": _frame_sample_sql(10000),
         "score_counts": SQL_PRELUDE

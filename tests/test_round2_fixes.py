@@ -402,3 +402,64 @@ def test_warm_then_query(spark, sf_smoke, tmp_path):
     got = _rows(idx.bm25_topk(TERMS, k=10))
     want = _rows(idx.bm25_topk(TERMS, k=10, mode="exact"))
     _cmp(got, want, tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# 12. term-level point upsert (set_term_count, term.rs:113-122)
+# ---------------------------------------------------------------------------
+
+
+def test_set_term_counts_equals_fresh(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "spark join spark"), (1, "the end"), (2, "query merge")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "stc_idx")
+    build_index(spark, docs, out, config=CFG)
+    inc = IncrementalIndex(spark, out, CFG)
+    updates = spark.createDataFrame(
+        [
+            (0, "spark", 5),    # bump existing count
+            (0, "join", 0),     # delete a term
+            (0, "fresh", 2),    # brand-new term (new vocab)
+            (1, "the", 0),      # doc 1: delete one of two terms
+        ],
+        "doc_id long, term string, count long",
+    )
+    meta = inc.set_term_counts(updates)
+    assert meta["doc_num"] == 3
+    # equivalent corpus, built fresh
+    fresh_docs = spark.createDataFrame(
+        [(0, "spark spark spark spark spark fresh fresh"),
+         (1, "end"), (2, "query merge")],
+        "doc_id long, text string",
+    )
+    fresh_dir = str(tmp_path / "stc_fresh")
+    build_index(spark, fresh_docs, fresh_dir, config=CFG)
+    idx, fresh = PackedIndex(spark, out, CFG), PackedIndex(spark, fresh_dir, CFG)
+    for terms in (["spark", "fresh"], ["the", "end"], ["join"]):
+        _cmp(
+            _rows(idx.bm25_topk(terms, k=10, mode="exact")),
+            _rows(fresh.bm25_topk(terms, k=10, mode="exact")),
+            tol=1e-12,
+        )
+    # point read reflects the patch (get_tf, mod.rs:261-309)
+    tfmap = {(r["doc_id"], r["term"]): r["tf"] for r in idx.get_tf([0, 1]).collect()}
+    assert tfmap == {(0, "spark"): 5, (0, "fresh"): 2, (1, "end"): 1}
+
+
+def test_set_term_counts_to_empty_doc(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "spark join")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "stc_empty")
+    build_index(spark, docs, out, config=CFG)
+    inc = IncrementalIndex(spark, out, CFG)
+    meta = inc.set_term_counts(
+        spark.createDataFrame([(0, "solo", 0)], "doc_id long, term string, count long")
+    )
+    assert meta["doc_num"] == 2  # doc 0 stays live, empty
+    idx = PackedIndex(spark, out, CFG)
+    dd = {r["doc_id"]: r["doc_len"] for r in idx.doc_dict.collect()}
+    assert dd[0] == 0 and dd[1] == 2
+    assert idx.get_tf([0]).count() == 0

@@ -225,6 +225,52 @@ class PackedIndex:
             F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
         )
 
+    def get_tf(self, doc_ids: list[int]) -> DataFrame:
+        """Point read: the live TF maps of the given docs ->
+        (doc_id, term string, tf).  The reference's get_tf /
+        get_tf_into_term_freq (mod.rs:261-309): counts are reconstructed
+        through tf_denorm, so they are the EFFECTIVE values — lossy for
+        the f16 engine exactly as the reference documents
+        (mod.rs:270-271).  Only blocks whose doc range intersects the
+        requested ids are decoded (vectorized searchsorted check)."""
+        ids = np.sort(np.array(sorted(set(doc_ids)), dtype=np.int64))
+        if ids.size == 0:
+            return self.spark.createDataFrame([], "doc_id long, term string, tf long")
+        bc = self.spark.sparkContext.broadcast(ids)
+        blocks = self._postings()
+
+        def intersects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            v = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lo = np.searchsorted(v, pdf["min_doc"].to_numpy())
+                ok = (lo < v.size) & (
+                    v[np.minimum(lo, v.size - 1)] <= pdf["max_doc"].to_numpy()
+                )
+                yield pdf[ok]
+
+        hit = blocks.mapInPandas(intersects, schema=blocks.schema)
+
+        def decode_filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            v = bc.value
+            for out in _decode_blocks_iter(batches):
+                pos = np.searchsorted(v, out["doc_id"].to_numpy())
+                keep = (pos < v.size) & (
+                    v[np.minimum(pos, v.size - 1)] == out["doc_id"].to_numpy()
+                )
+                yield out[keep]
+
+        decoded = hit.select(
+            "term_id", "n", "doc_deltas", "tfs", "gen"
+        ).mapInPandas(decode_filtered, schema=_DECODE_SCHEMA)
+        live = decoded.join(
+            self.doc_dict.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
+        )
+        return live.join(self.term_dict.select("term_id", "term"), "term_id").select(
+            "doc_id", "term", "tf"
+        )
+
     def decode_postings(self, term_ids: list[int] | None) -> DataFrame:
         """(term_id, doc_id, tf, gen) rows for the given terms (all terms
         when None) — the exact packed read path (no pruning).  tf is the

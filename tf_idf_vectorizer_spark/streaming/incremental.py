@@ -105,9 +105,18 @@ class IncrementalIndex:
         key_col: str = "doc_id",
         text_col: str = "text",
         refresh_norms: bool = False,
+        tf_adds: DataFrame | None = None,
+        tf_add_ids: DataFrame | None = None,
     ) -> dict:
         """Apply one micro-batch.  An added id that already exists is an
         overwrite (old generation's rows become unreachable).
+
+        Documents enter either as text (``adds``: (doc_id, text)) or as
+        pre-aggregated RAW term counts (``tf_adds``: (doc_id, term, tf),
+        one row per (doc, term) — the reference's add_doc ingests a
+        TermFrequency map directly, mod.rs:118).  ``tf_add_ids``
+        optionally names the full upserted doc set when some docs have
+        zero rows (they become live empty docs).
 
         On an index built with norms=True the batch invalidates the
         precomputed cosine norms (IDF moved for every term, so every
@@ -115,6 +124,8 @@ class IncrementalIndex:
         ``meta["norms"]`` flips False unless ``refresh_norms=True``,
         which runs :meth:`refresh_norms` after the batch.
         """
+        if adds is not None and tf_adds is not None:
+            raise ValueError("pass adds (text) OR tf_adds (counts), not both")
         spark = self.spark
         meta = self._meta()
         gen = int(meta.get("generation", 0)) + 1
@@ -124,14 +135,27 @@ class IncrementalIndex:
                     if c not in ("doc_id", "doc_len", "norm", "gen")]
         term_dict = spark.read.parquet(f"{self.dir}/term_dict")
 
-        dead_ids = set(delete_ids)
+        ids_df = None
         if adds is not None:
             adds = adds.select(
                 F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
             ).cache()
+            ids_df = adds.select("doc_id")
+        elif tf_adds is not None:
+            tf_adds = tf_adds.select(
+                F.col(key_col).alias("doc_id"), "term", "tf"
+            ).cache()
+            ids_df = (
+                tf_add_ids.select(F.col(key_col).alias("doc_id"))
+                if tf_add_ids is not None
+                else tf_adds.select("doc_id")
+            ).distinct().cache()
+
+        dead_ids = set(delete_ids)
+        if ids_df is not None:
             dead_ids |= {
                 r[0]
-                for r in doc_dict.join(adds, "doc_id", "left_semi")
+                for r in doc_dict.join(ids_df, "doc_id", "left_semi")
                 .select("doc_id")
                 .collect()
             }
@@ -184,15 +208,18 @@ class IncrementalIndex:
 
         # ---- adds (add_doc) ----------------------------------------------
         df_add = None
-        if adds is not None and adds.count() > 0:
-            tf = with_effective_tf(
-                term_frequencies(adds, "doc_id", "text"), self.config
-            ).cache()
-            # doc stats derive from the ADDS relation, not the TF rows,
-            # so zero-token docs still land in doc_dict (doc_len 0) and
-            # count in doc_num — same universe as a fresh build
+        if ids_df is not None and ids_df.count() > 0:
+            raw_tf = (
+                term_frequencies(adds, "doc_id", "text")
+                if adds is not None
+                else tf_adds.filter(F.col("tf") > 0)
+            )
+            tf = with_effective_tf(raw_tf, self.config).cache()
+            # doc stats derive from the UPSERTED ID relation, not the TF
+            # rows, so zero-token docs still land in doc_dict (doc_len 0)
+            # and count in doc_num — same universe as a fresh build
             new_doc_stats = (
-                adds.select("doc_id")
+                ids_df
                 .join(
                     tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
                     "doc_id",
@@ -319,6 +346,37 @@ class IncrementalIndex:
         if had_norms and refresh_norms:
             meta = self.refresh_norms()
         return meta
+
+    # ------------------------------------------------------------------
+    def set_term_counts(self, updates: DataFrame, refresh_norms: bool = False) -> dict:
+        """Term-level point upsert (term.rs:113-122 `set_term_count` +
+        the add_tf_vec overwrite, mod.rs:183-225): ``updates`` is
+        (doc_id, term, count) — set the exact count, 0 deletes the term;
+        other terms of the doc keep their current values.  Current
+        values are the reference's lossy reconstruction
+        (get_tf_into_term_freq through tf_denorm, mod.rs:261-309), i.e.
+        the stored effective tf.  A doc whose terms all reach 0 stays
+        live with doc_len 0.  Everything is a dataflow: decode only
+        blocks overlapping the touched docs, outer-merge the updates,
+        overwrite those docs at the next generation."""
+        spark = self.spark
+        updates = updates.select("doc_id", "term", F.col("count").cast("long"))
+        affected = updates.select("doc_id").distinct()
+        affected_ids = [r["doc_id"] for r in affected.collect()]  # batch-sized
+        idx = PackedIndex(spark, self.dir, self.config)
+        current = idx.get_tf(affected_ids)
+        merged = (
+            current.join(updates, ["doc_id", "term"], "full_outer")
+            .select(
+                "doc_id",
+                "term",
+                F.coalesce(F.col("count"), F.col("tf")).alias("tf"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+        return self.apply_batch(
+            tf_adds=merged, tf_add_ids=affected, refresh_norms=refresh_norms
+        )
 
     # ------------------------------------------------------------------
     def refresh_norms(self) -> dict:
