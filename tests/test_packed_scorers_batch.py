@@ -62,3 +62,31 @@ def test_batch_equals_sequential(built):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in seq], qid
         for g, s in zip(got, seq):
             assert math.isclose(g["score"], s["score"], rel_tol=1e-9)
+
+
+def test_batch_auto_splits_heavy_queries(spark, sf_smoke, tmp_path):
+    """A WAND-territory query inside a batch peels off through the WAND
+    path; results must match the plain distributed batch."""
+    import math
+
+    from tf_idf_vectorizer_spark.config import EngineConfig
+    from tf_idf_vectorizer_spark.operators.index_build import build_index
+    from tf_idf_vectorizer_spark.query.packed import PackedIndex
+    from tf_idf_vectorizer_spark.sources import load_documents
+
+    cfg = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+    out = str(tmp_path / "bsplit")
+    build_index(
+        spark, load_documents(spark, sf_smoke).select("doc_id", "text"),
+        out, config=cfg,
+    )
+    idx = PackedIndex(spark, out, cfg)
+    idx.WAND_THRESHOLD = 300  # force 'the' (df~450) into WAND territory
+    queries = {0: ["spark", "join"], 1: ["the"], 2: ["merge", "query"]}
+    got = idx.bm25_topk_batch(queries, k=10, mode="auto").collect()
+    want = idx.bm25_topk_batch(queries, k=10, mode="exact").collect()
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    got_s, want_s = sorted(got, key=key), sorted(want, key=key)
+    assert [key(r) for r in got_s] == [key(r) for r in want_s]
+    for a, b in zip(got_s, want_s):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9)

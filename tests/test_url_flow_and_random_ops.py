@@ -110,3 +110,52 @@ def test_randomized_incremental_ops_vs_oracle(spark, tmp_path):
         assert [r["doc_id"] for r in got] == [w[0] for w in want], terms
         for g, w in zip(got, want):
             assert math.isclose(g["score"], w[1], rel_tol=1e-9), (terms, g, w)
+
+
+def test_randomized_set_term_counts_vs_oracle(spark, tmp_path):
+    """Seeded random term-level patches (set exact count / delete term /
+    add new vocab) interleaved with doc ops == oracle of the mirrored
+    final state (same oracle style, seed 0xC0FFEE ^ 1)."""
+    from collections import Counter
+
+    rng = random.Random(0xC0FFEE ^ 1)
+    state: dict[int, str] = {i: _rand_text(rng) for i in range(30)}
+    base = spark.createDataFrame(list(state.items()), "doc_id long, text string")
+    out = str(tmp_path / "rnd_stc")
+    build_index(spark, base, out, config=CFG)
+    inc = IncrementalIndex(spark, out, CFG)
+
+    for _batch in range(3):
+        updates = []
+        for _ in range(rng.randint(1, 5)):
+            k = rng.choice(sorted(state))
+            cnt = Counter(state[k].split())
+            pool = sorted(cnt) + [f"newt{rng.randint(0, 3)}"]
+            term = rng.choice(pool)
+            val = rng.randint(0, 3)
+            updates.append((k, term, val))
+            if val == 0:
+                cnt.pop(term, None)
+            else:
+                cnt[term] = val
+            state[k] = " ".join(
+                t for t, c in sorted(cnt.items()) for _ in range(c)
+            )
+        inc.set_term_counts(
+            spark.createDataFrame(updates, "doc_id long, term string, count long")
+        )
+        # interleave a plain doc op to exercise gen mixing
+        k = rng.choice(sorted(state))
+        state[k] = _rand_text(rng)
+        inc.apply_batch(
+            adds=spark.createDataFrame([(k, state[k])], "doc_id long, text string")
+        )
+
+    oracle = OracleIndex(state)
+    idx = PackedIndex(spark, out, CFG)
+    for terms in (["alpha", "newt0"], ["beta", "newt1", "gamma"], ["theta"]):
+        got = idx.bm25_topk(terms, k=25, mode="exact").collect()
+        want = oracle.similarity("bm25", terms, k=25)
+        assert [r["doc_id"] for r in got] == [w[0] for w in want], terms
+        for g, w in zip(got, want):
+            assert math.isclose(g["score"], w[1], rel_tol=1e-9), (terms, g, w)

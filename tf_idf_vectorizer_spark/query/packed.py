@@ -575,6 +575,34 @@ class PackedIndex:
         b = self.config.b if b is None else b
         all_terms = sorted({t for ts in queries.values() for t in ts})
         qinfo = {r["term"]: r for r in self._query_info(all_terms)}
+        if mode == "auto":
+            # WAND-territory queries (a stop-word query would force the
+            # whole batch to decode its postings) peel off and run
+            # individually through block-max WAND; the rest share one
+            # batch pass.  Dispatch is free — dfs are already known.
+            heavy = {
+                qid: ts
+                for qid, ts in queries.items()
+                if sum(qinfo[t]["df"] for t in set(ts) if t in qinfo)
+                >= self.WAND_THRESHOLD
+            }
+            if heavy:
+                light = {q: ts for q, ts in queries.items() if q not in heavy}
+                parts = [
+                    self.bm25_topk(ts, k=k, k1=k1, b=b, mode="wand").select(
+                        F.lit(int(qid)).alias("query_id"),
+                        "doc_id", "score", "doc_len",
+                    )
+                    for qid, ts in heavy.items()
+                ]
+                if light:
+                    parts.append(
+                        self.bm25_topk_batch(light, k=k, k1=k1, b=b, mode="auto")
+                        .select("query_id", "doc_id", "score", "doc_len")
+                    )
+                from functools import reduce
+
+                return reduce(DataFrame.unionByName, parts)
         pairs = [
             (int(qid), qinfo[t]["term_id"], float(qinfo[t]["idf"]))
             for qid, ts in queries.items()
