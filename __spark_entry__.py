@@ -692,6 +692,33 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 STOPS = ["the", "of", "and", "to", "a", "in", "is", "it"]
 
 
+def q_remove_terms_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retain-by-predicate (term.rs:363-379): remove short or rare
+    entries; the oracle applies the identical condition."""
+    s = _searcher(spark, sf_dir)
+    out = TFops.remove_terms_by(
+        s.tf.filter(F.col("doc_id") < 50),
+        lambda term, tf: (F.length(term) <= 3) | (tf < 2),
+    )
+    return out.select("doc_id", "term", "tf")
+
+
+def q_sorted_dict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-order vector with positions (term.rs:401-409)."""
+    s = _searcher(spark, sf_dir)
+    out = TFops.sorted_dict_order_vector(s.tf.filter(F.col("doc_id") < 30))
+    return out.select("doc_id", "pos", "term", "tf")
+
+
+def q_sort_by_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-comparator sort of hits (Hits::sort_by,
+    scoring.rs:105-108): shortest matching docs first."""
+    s = _searcher(spark, sf_dir)
+    hits = s.similarity("bm25", ["spark", "join"])
+    out = hits.select("doc_id", _r6("score").alias("score"), "doc_len")
+    return out.orderBy(F.asc("doc_len"), F.asc("doc_id")).limit(K)
+
+
 def q_remove_stop_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     out = TFops.remove_stop_terms(s.tf.filter(F.col("doc_id") < 50), STOPS)
@@ -812,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_fingerprints,
         "remove_stop_terms": q_remove_stop_terms,
+        "remove_terms_by": q_remove_terms_by,
+        "sorted_dict_order": q_sorted_dict_order,
+        "sort_by_doclen": q_sort_by_doclen,
         "scale_counts": q_scale_counts,
         "sub_terms": q_sub_terms,
         "add_terms_from_freq": q_add_terms_from_freq,
@@ -994,6 +1024,18 @@ FROM events GROUP BY 1, 2""",
         "remove_stop_terms": SQL_PRELUDE
         + """SELECT doc_id, term, tf FROM tf WHERE doc_id < 50
 AND term NOT IN ('the','of','and','to','a','in','is','it')""",
+        "remove_terms_by": SQL_PRELUDE
+        + """SELECT doc_id, term, tf FROM tf WHERE doc_id < 50
+AND NOT (length(term) <= 3 OR tf < 2)""",
+        "sorted_dict_order": SQL_PRELUDE
+        + """SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY term ASC))::INT AS pos,
+       term, tf
+FROM tf WHERE doc_id < 30""",
+        "sort_by_doclen": f"""
+WITH hits AS ({_bm25_sql(["spark", "join"], 10_000_000)})
+SELECT doc_id, score, doc_len FROM hits
+ORDER BY doc_len ASC, doc_id ASC LIMIT {K}""",
         "scale_counts": SQL_PRELUDE
         + """SELECT doc_id, term, floor(tf * 2.5::DOUBLE + 0.5::DOUBLE)::BIGINT AS tf
 FROM tf WHERE doc_id < 30 AND floor(tf * 2.5::DOUBLE + 0.5::DOUBLE) > 0""",

@@ -463,3 +463,22 @@ def test_set_term_counts_to_empty_doc(spark, tmp_path):
     dd = {r["doc_id"]: r["doc_len"] for r in idx.doc_dict.collect()}
     assert dd[0] == 0 and dd[1] == 2
     assert idx.get_tf([0]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 13. TermFrequency idiom constructors (From<&[T]>, term.rs:150-171)
+# ---------------------------------------------------------------------------
+
+
+def test_from_terms_ctor(spark):
+    from collections import Counter
+
+    from tf_idf_vectorizer_spark.functions.termfreq import from_terms
+
+    toks = ["a", "b", "a", "c", "a", "b"]
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in from_terms(spark, 7, toks).collect()
+    }
+    want = {(7, t): c for t, c in Counter(toks).items()}
+    assert got == want

@@ -86,3 +86,29 @@ def top_terms_global(tf: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("total_tf"), F.asc("term"))
         .limit(k)
     )
+
+
+def remove_terms_by(tf: DataFrame, predicate) -> DataFrame:
+    """Retain-by-predicate (term.rs:363-379 `remove_terms_by` keeps
+    entries whose (term, count) the closure REJECTS... the reference
+    retains when the closure returns false; here ``predicate`` is the
+    removal condition expressed as a Column over (term, tf))."""
+    pred = predicate(F.col("term"), F.col("tf")) if callable(predicate) else predicate
+    return tf.filter(~pred)
+
+
+def sorted_dict_order_vector(tf: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Terms in dictionary (lexicographic) order per doc with their
+    position (term.rs:401-409)."""
+    w = Window.partitionBy(key_col).orderBy(F.asc("term"))
+    return tf.withColumn("pos", F.row_number().over(w)).orderBy(
+        key_col, "pos"
+    )
+
+
+def from_terms(spark, key, terms: list[str], key_col: str = "doc_id") -> DataFrame:
+    """Constructor from a token slice (`From<&[T]>`, term.rs:150-171):
+    counts duplicates, one row per distinct term."""
+    rows = [(key, t) for t in terms]
+    df = spark.createDataFrame(rows, f"{key_col} long, term string")
+    return df.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
