@@ -546,6 +546,13 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(docs, n_hashes=4)
 
 
+def q_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle (word-3-gram) MinHash — the shingle->minhash->band
+    pipeline's feature stage."""
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return dedup.minhash_signatures(docs, n_hashes=4, shingle=3)
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 60)
     return dedup.lsh_candidate_pairs(docs, n_bands=2, rows_per_band=2)
@@ -828,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash,
+        "minhash_shingles": q_minhash_shingles,
         "lsh_candidate_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash16": q_simhash,
@@ -1220,6 +1228,22 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "minhash_signatures": _tok_cte("AND doc_id < 100")
         + f" SELECT doc_id, {_sig_exprs(4)} FROM terms GROUP BY doc_id",
+        "minhash_shingles": rf"""
+WITH tokarr AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> '' AND doc_id < 100
+),
+pos AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 2)) AS i
+    FROM tokarr WHERE len(toks) >= 3
+),
+terms AS (
+    SELECT DISTINCT doc_id,
+           toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS term
+    FROM pos
+)
+SELECT doc_id, {_sig_exprs(4)} FROM terms GROUP BY doc_id""",
         "lsh_candidate_pairs": _tok_cte("AND doc_id < 60")
         + f""",
 sigs AS (SELECT doc_id, {_sig_exprs(4)} FROM terms GROUP BY doc_id),

@@ -124,3 +124,47 @@ def test_quality_score_range(spark, sf_smoke):
         F.min("quality"), F.max("quality")
     ).first()
     assert 0.0 <= out[0] and out[1] <= 1.0
+
+
+def test_shingle_minhash_matches_python(spark):
+    """Spark shingle MinHash == a direct python computation (word
+    3-grams, salted-md5 min)."""
+    import hashlib
+
+    from tf_idf_vectorizer_spark.pipeline.dedup import minhash_signatures
+
+    texts = {
+        0: "a b c d e",
+        1: "a b",            # shorter than the shingle -> no features
+        2: "x y z x y z",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["sig_0"], r["sig_1"])
+        for r in minhash_signatures(docs, n_hashes=2, shingle=3).collect()
+    }
+
+    def mh(text, i):
+        toks = text.split()
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        return min(
+            hashlib.md5(f"{s}#{i}".encode()).hexdigest() for s in sh
+        ) if sh else None
+
+    for d, t in texts.items():
+        if mh(t, 0) is None:
+            assert d not in got  # no shingles -> no signature row
+        else:
+            assert got[d] == (mh(t, 0), mh(t, 1)), d
+
+
+def test_lsh_pairs_with_shingles(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from tf_idf_vectorizer_spark.pipeline.dedup import lsh_candidate_pairs
+    from tf_idf_vectorizer_spark.sources import load_documents
+
+    docs = load_documents(spark, sf_smoke).filter(F.col("doc_id") < 60)
+    pairs = lsh_candidate_pairs(docs, n_bands=2, rows_per_band=2, shingle=2)
+    rows = pairs.collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)

@@ -55,16 +55,40 @@ def _distinct_terms(docs: DataFrame, key_col: str, text_col: str) -> DataFrame:
     return toks.select(key_col, F.explode("tokens").alias("term")).distinct()
 
 
+def _distinct_shingles(
+    docs: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct word n-gram (shingle) set per doc — the classic MinHash
+    feature for near-dup detection (word order matters, unlike the
+    unigram set).  Built-ins only: slice windows over the token array."""
+    toks = tokenize(docs.select(key_col, text_col), text_col)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i, n)),
+    )
+    sh = F.when(F.size("tokens") >= n, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toks.select(key_col, F.explode(sh).alias("term")).distinct()
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 8,
     key_col: str = "doc_id",
     text_col: str = "text",
+    shingle: int | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature over the unigram term set.
-    sig_i = min over terms of md5(term || '#i').
+    """Per-doc MinHash signature; features are the unigram term set, or
+    the word-``shingle``-gram set when ``shingle`` is given (the
+    shingle -> minhash -> band -> bucket-join pipeline).
+    sig_i = min over features of md5(feature || '#i').
     -> (doc_id, sig_0 .. sig_{n-1})."""
-    terms = _distinct_terms(docs, key_col, text_col)
+    terms = (
+        _distinct_shingles(docs, key_col, text_col, shingle)
+        if shingle
+        else _distinct_terms(docs, key_col, text_col)
+    )
     aggs = [
         F.min(_md5(F.concat(F.col("term"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(n_hashes)
@@ -79,11 +103,14 @@ def lsh_candidate_pairs(
     key_col: str = "doc_id",
     text_col: str = "text",
     cap_bucket: int = 1000,
+    shingle: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate
-    pairs (a < b).  -> (doc_a, doc_b)."""
+    pairs (a < b).  ``shingle=n`` switches the feature set to word
+    n-grams (shingle -> minhash -> band -> bucket-join).
+    -> (doc_a, doc_b)."""
     n_hashes = n_bands * rows_per_band
-    sigs = minhash_signatures(docs, n_hashes, key_col, text_col)
+    sigs = minhash_signatures(docs, n_hashes, key_col, text_col, shingle)
     bands = []
     for bi in range(n_bands):
         cols = [F.col(f"sig_{bi * rows_per_band + r}") for r in range(rows_per_band)]
