@@ -26,6 +26,26 @@ Layout:
 
 from tf_idf_vectorizer_spark.config import EngineConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["EngineConfig", "__version__"]
+
+
+def __getattr__(name):  # lazy: keep `import tf_idf_vectorizer_spark` cheap
+    if name in ("build_index", "merge_indexes"):
+        from tf_idf_vectorizer_spark import operators
+
+        return getattr(operators, name)
+    if name == "PackedIndex":
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex
+
+        return PackedIndex
+    if name == "ExactSearcher":
+        from tf_idf_vectorizer_spark.query.exact import ExactSearcher
+
+        return ExactSearcher
+    if name == "IncrementalIndex":
+        from tf_idf_vectorizer_spark.streaming import IncrementalIndex
+
+        return IncrementalIndex
+    raise AttributeError(name)

@@ -282,6 +282,7 @@ def build_index(
     resume: bool = False,
     check_collisions: bool = False,
     norms: bool = False,
+    cache_tf: bool = True,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -318,7 +319,13 @@ def build_index(
         docs, key_col, text_col, with_doc_len=True
     ).withColumnRenamed(key_col, "doc_id")
     tf = with_effective_tf(tf, config)
-    tf.cache()
+    # the TF relation is read 2-3x (stats, doc stats, postings rows);
+    # caching trades re-tokenization (pure JVM, cheap) for executor
+    # memory.  At corpus sizes where the cache would spill, recompute
+    # wins — pass cache_tf=False for huge builds (the tokenize+agg
+    # stages then run per consumer, fully pipelined with each)
+    if cache_tf:
+        tf.cache()
 
     stats = corpus_stats(tf, "doc_id")
     idf = idf_table(stats, doc_num, precision)
@@ -485,5 +492,6 @@ def build_index(
     }
     with open(f"{out_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=2)
-    tf.unpersist()
+    if cache_tf:
+        tf.unpersist()
     return meta
