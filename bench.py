@@ -98,6 +98,19 @@ def main() -> None:
     results["query_p95"] = round(
         sorted(lat_warm)[max(0, int(len(lat_warm) * 0.95) - 1)], 3
     )
+    # serving API (rows out, no DataFrame roundtrip — the shape a
+    # search tier actually calls): same query mix, warm
+    serve = []
+    for _name, terms in QUERY_MIX:
+        for rep in range(3):
+            t0 = time.time()
+            idx.bm25_topk_rows(terms, k=10)
+            if rep:
+                serve.append(time.time() - t0)
+    results["serving_p50"] = round(statistics.median(serve), 3)
+    results["serving_p95"] = round(
+        sorted(serve)[max(0, int(len(serve) * 0.95) - 1)], 3
+    )
     # forced-WAND latency (the 10^12-scale path).  auto mode no longer
     # exercises the WAND plans at this sf (the serving path wins), so
     # warm their codegen once on a DIFFERENT query, then measure; the

@@ -482,3 +482,14 @@ def test_from_terms_ctor(spark):
     }
     want = {(7, t): c for t, c in Counter(toks).items()}
     assert got == want
+
+
+def test_topk_rows_serving_api(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "rows_idx")
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    build_index(spark, docs, out, config=CFG)
+    idx = PackedIndex(spark, out, CFG)
+    rows = idx.bm25_topk_rows(TERMS, k=15)
+    want = _rows(idx.bm25_topk(TERMS, k=15, mode="exact"))
+    _cmp(rows, want, tol=1e-9)
+    assert idx.bm25_topk_rows(["zzz_absent_term"], k=5) == []

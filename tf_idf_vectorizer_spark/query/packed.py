@@ -409,9 +409,11 @@ class PackedIndex:
             (int(doc_ids[i]), float(scores[i]), int(doc_lens[i])) for i in order
         ]
 
-    def _bm25_driver(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
-        """Exact BM25 via the single-node path (rank-identical to the
-        distributed exact path; tested)."""
+    def _bm25_driver_rows(
+        self, qinfo: list[dict], k: int, k1: float, b: float
+    ) -> list[tuple]:
+        """Single-node exact BM25 -> plain (doc_id, score, doc_len)
+        rows (rank-identical to the distributed exact path; tested)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         live = self._decode_live_driver(tids)
@@ -422,18 +424,50 @@ class PackedIndex:
             ids_all.append(dids)
             dl_all.append(dl)
         if not ids_all:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
-            )
+            return []
         ids = np.concatenate(ids_all)
         uids, inv = np.unique(ids, return_inverse=True)
         sums = np.bincount(inv, weights=np.concatenate(sc_all))
         udl = np.zeros(uids.size)
         udl[inv] = np.concatenate(dl_all)
-        rows = self._topk_rows(uids, sums, udl, k)
+        return self._topk_rows(uids, sums, udl, k)
+
+    def _bm25_driver(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         return self.spark.createDataFrame(
-            rows, "doc_id long, score double, doc_len long"
+            self._bm25_driver_rows(qinfo, k, k1, b),
+            "doc_id long, score double, doc_len long",
         )
+
+    def bm25_topk_rows(
+        self,
+        terms: list[str],
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> list[tuple]:
+        """Serving API: top-k as plain (doc_id, score, doc_len) tuples —
+        the reference returns an in-memory Hits vec (scoring.rs:39-55),
+        and a serving tier wants rows, not a DataFrame handle.  On the
+        single-node path this skips the createDataFrame->collect
+        roundtrip entirely (one Spark job total); outside its bounds it
+        falls back to collecting the distributed result."""
+        k1 = self.config.k1 if k1 is None else k1
+        b = self.config.b if b is None else b
+        qinfo = self._query_info(terms)
+        if not qinfo or self.doc_num == 0:
+            return []
+        volume = sum(r["df"] for r in qinfo)
+        if (
+            volume < self.WAND_THRESHOLD
+            and volume <= self.DRIVER_VOLUME_MAX
+            and self._doc_stats_np() is not None
+        ):
+            return self._bm25_driver_rows(qinfo, k, k1, b)
+        mode = "wand" if volume >= self.WAND_THRESHOLD else "exact"
+        return [
+            (r["doc_id"], r["score"], r["doc_len"])
+            for r in self.bm25_topk(terms, k=k, k1=k1, b=b, mode=mode).collect()
+        ]
 
     def bm25_topk(
         self,
