@@ -493,3 +493,62 @@ def test_topk_rows_serving_api(spark, sf_smoke, tmp_path):
     want = _rows(idx.bm25_topk(TERMS, k=15, mode="exact"))
     _cmp(rows, want, tol=1e-9)
     assert idx.bm25_topk_rows(["zzz_absent_term"], k=5) == []
+
+
+# ---------------------------------------------------------------------------
+# 14. robustness: giant documents and non-ASCII vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_giant_document(spark, tmp_path):
+    """One 100k-token doc among tiny ones: TF aggregation, packing and
+    scoring all stay correct (doc skew is handled by the (doc,term)
+    groupBy, not salting — salts only split TERM runs)."""
+    import random as _r
+
+    rng = _r.Random(3)
+    giant = " ".join(f"t{rng.randint(0, 500)}" for _ in range(100_000))
+    docs = spark.createDataFrame(
+        [(0, giant), (1, "t1 t2 spark"), (2, "spark t3")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "giant_idx")
+    meta = build_index(spark, docs, out, config=CFG)
+    assert meta["total_len"] == 100_005  # 100k + 3 + 2 tokens
+    idx = PackedIndex(spark, out, CFG)
+    searcher = ExactSearcher(spark, docs, config=CFG)
+    _cmp(
+        _rows(idx.bm25_topk(["spark", "t1"], k=3, mode="exact")),
+        _rows(searcher.similarity("bm25", ["spark", "t1"], k=3)),
+        tol=1e-9,
+    )
+    dd = {r["doc_id"]: r["doc_len"] for r in idx.doc_dict.collect()}
+    assert dd[0] == 100_000
+
+
+def test_nonascii_vocabulary(spark, tmp_path):
+    """Japanese terms (the reference's own corpus language): xxhash64
+    term ids, md5-based pipeline hashes and the varint codec are all
+    byte-oriented — parity must hold end to end."""
+    docs = spark.createDataFrame(
+        [
+            (0, "日本語 検索 エンジン 日本語"),
+            (1, "検索 クエリ 日本語"),
+            (2, "エンジン 構築"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "ja_idx")
+    build_index(spark, docs, out, config=CFG)
+    idx = PackedIndex(spark, out, CFG)
+    searcher = ExactSearcher(spark, docs, config=CFG)
+    for algo in ("bm25", "dot", "contains"):
+        _cmp(
+            _rows(idx.similarity(algo, ["日本語", "構築"], k=3)),
+            _rows(searcher.similarity(algo, ["日本語", "構築"], k=3)),
+            tol=1e-9,
+        )
+    rows = idx.bm25_topk_rows(["日本語"], k=3)
+    assert [r[0] for r in rows] == [0, 1]
+    tfmap = {(r["doc_id"], r["term"]): r["tf"] for r in idx.get_tf([0]).collect()}
+    assert tfmap[(0, "日本語")] == 2
