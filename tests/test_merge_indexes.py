@@ -88,3 +88,40 @@ def test_merge_b_wins_overlap(merged):
     hits = idx.bm25_topk(["rewritten"], k=100, mode="exact").collect()
     ids = {r["doc_id"] for r in hits}
     assert ids == set(range(250, 300)), "overlap docs must carry B's content"
+
+
+def test_merge_mutated_index(spark, sf_smoke, tmp_path):
+    """Merging an index that has LIVE MVCC generations (overwrites +
+    deletes applied) must use only live rows: merge(A', B) == fresh
+    build of (A' final state, B-wins union)."""
+    from tf_idf_vectorizer_spark.streaming import IncrementalIndex
+
+    docs = load_documents(spark, sf_smoke).select("doc_id", "text")
+    docs_a = docs.filter(F.col("doc_id") < 200)
+    docs_b = docs.filter(F.col("doc_id") >= 180)
+    dir_a, dir_b = str(tmp_path / "ma"), str(tmp_path / "mb")
+    build_index(spark, docs_a, dir_a, config=CFG)
+    build_index(spark, docs_b, dir_b, config=CFG)
+    # mutate A: overwrite doc 0, delete doc 1 (stale gen-0 rows remain
+    # in A's postings until compaction)
+    adds = spark.createDataFrame(
+        [(0, "mutated spark join text")], "doc_id long, text string"
+    )
+    IncrementalIndex(spark, dir_a, CFG).apply_batch(adds=adds, delete_ids=[1])
+
+    out = str(tmp_path / "mmerged")
+    merge_indexes(spark, dir_a, dir_b, out, CFG)
+    # B wins 180-199 (same text), so the union is A-mutated + B
+    union = docs_a.filter(
+        (~F.col("doc_id").isin([0, 1])) & (F.col("doc_id") < 180)
+    ).unionByName(adds).unionByName(docs_b)
+    fresh_dir = str(tmp_path / "mfresh")
+    build_index(spark, union, fresh_dir, config=CFG)
+    got = PackedIndex(spark, out, CFG)
+    want = PackedIndex(spark, fresh_dir, CFG)
+    assert got.meta["doc_num"] == want.meta["doc_num"]
+    _cmp(
+        _rows(got.bm25_topk(TERMS + ["mutated"], k=20, mode="exact")),
+        _rows(want.bm25_topk(TERMS + ["mutated"], k=20, mode="exact")),
+        tol=1e-9,
+    )

@@ -624,7 +624,7 @@ class PackedIndex:
                 light = {q: ts for q, ts in queries.items() if q not in heavy}
                 parts = [
                     self.bm25_topk(ts, k=k, k1=k1, b=b, mode="wand").select(
-                        F.lit(int(qid)).alias("query_id"),
+                        F.lit(int(qid)).cast("long").alias("query_id"),
                         "doc_id", "score", "doc_len",
                     )
                     for qid, ts in heavy.items()
