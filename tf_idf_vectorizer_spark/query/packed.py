@@ -101,6 +101,31 @@ def _decode_blocks_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+def blocks_overlapping_ids(blocks: DataFrame, bc) -> DataFrame:
+    """Blocks whose [min_doc, max_doc] range contains >=1 of the
+    broadcast SORTED doc ids.  The range check (vectorized searchsorted)
+    runs over METADATA COLUMNS ONLY — the compressed payloads of
+    non-matching blocks never cross the Arrow boundary (that boundary is
+    the measured scale bottleneck; matching blocks' payloads come back
+    via a JVM key join)."""
+    key_cols = ["term_id", "salt", "block_seq", "gen"]
+    meta = blocks.select(*key_cols, "min_doc", "max_doc")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lo = np.searchsorted(v, pdf["min_doc"].to_numpy())
+            ok = (lo < v.size) & (
+                v[np.minimum(lo, v.size - 1)] <= pdf["max_doc"].to_numpy()
+            )
+            yield pdf[ok]
+
+    keys = meta.mapInPandas(check, schema=meta.schema).select(*key_cols)
+    return blocks.join(keys, key_cols)
+
+
 class PackedIndex:
     """Reader over the table set written by build_index."""
 
@@ -225,6 +250,9 @@ class PackedIndex:
             F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
         )
 
+    def blocks_overlapping_ids(self, blocks: DataFrame, bc) -> DataFrame:
+        return blocks_overlapping_ids(blocks, bc)
+
     def get_tf(self, doc_ids: list[int]) -> DataFrame:
         """Point read: the live TF maps of the given docs ->
         (doc_id, term string, tf).  The reference's get_tf /
@@ -237,20 +265,7 @@ class PackedIndex:
         if ids.size == 0:
             return self.spark.createDataFrame([], "doc_id long, term string, tf long")
         bc = self.spark.sparkContext.broadcast(ids)
-        blocks = self._postings()
-
-        def intersects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            v = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                lo = np.searchsorted(v, pdf["min_doc"].to_numpy())
-                ok = (lo < v.size) & (
-                    v[np.minimum(lo, v.size - 1)] <= pdf["max_doc"].to_numpy()
-                )
-                yield pdf[ok]
-
-        hit = blocks.mapInPandas(intersects, schema=blocks.schema)
+        hit = self.blocks_overlapping_ids(self._postings(), bc)
 
         def decode_filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             v = bc.value
@@ -1150,20 +1165,7 @@ class PackedIndex:
         sorted ids), then filter decoded rows to the candidates."""
         sc = self.spark.sparkContext
         bc = sc.broadcast(cand_ids)
-
-        def intersects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                lo = np.searchsorted(ids, pdf["min_doc"].to_numpy(), side="left")
-                ok = (lo < ids.size) & (
-                    ids[np.minimum(lo, ids.size - 1)] <= pdf["max_doc"].to_numpy()
-                )
-                yield pdf[ok]
-
-        blocks = self._blocks_for(tids)
-        hit_blocks = blocks.mapInPandas(intersects, schema=blocks.schema)
+        hit_blocks = self.blocks_overlapping_ids(self._blocks_for(tids), bc)
 
         def decode_filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids = bc.value

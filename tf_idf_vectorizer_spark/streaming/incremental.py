@@ -55,7 +55,11 @@ from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
 from tf_idf_vectorizer_spark.ioutil import recover_dir
 from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
-from tf_idf_vectorizer_spark.query.packed import PackedIndex, _decode_blocks_iter
+from tf_idf_vectorizer_spark.query.packed import (
+    PackedIndex,
+    _decode_blocks_iter,
+    blocks_overlapping_ids,
+)
 
 _DECODED = "term_id long, doc_id long, tf long, gen int"
 
@@ -175,19 +179,9 @@ class IncrementalIndex:
             ids = np.array(dead_ids, dtype=np.int64)
             bc = spark.sparkContext.broadcast(ids)
             blocks = spark.read.parquet(f"{self.dir}/postings")
-
-            def intersects(batches):
-                v = bc.value
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    lo = np.searchsorted(v, pdf["min_doc"].to_numpy())
-                    ok = (lo < v.size) & (
-                        v[np.minimum(lo, v.size - 1)] <= pdf["max_doc"].to_numpy()
-                    )
-                    yield pdf[ok]
-
-            hit = blocks.mapInPandas(intersects, schema=blocks.schema)
+            # range check over metadata only; payloads of non-matching
+            # blocks never cross the Arrow boundary
+            hit = blocks_overlapping_ids(blocks, bc)
             decoded = hit.select(
                 "term_id", "n", "doc_deltas", "tfs", "gen"
             ).mapInPandas(_decode_blocks_iter, schema=_DECODED)
