@@ -77,26 +77,35 @@ def _overlaps(ivs: list, lo: int, hi: int) -> bool:
     return i > 0 and ivs[i - 1][1] >= lo or (i < len(ivs) and ivs[i][0] <= hi)
 
 
+def _decode_batch(pdf: pd.DataFrame):
+    """Vectorized multi-block decode of one Arrow batch: varint streams
+    are self-delimiting, so the concatenated payloads decode in ONE
+    numpy pass; a segmented cumsum (the first value of every block is an
+    absolute doc id) restores ids with no per-block Python loop.
+    -> (n_per_block, doc_ids, tfs) arrays."""
+    n = pdf["n"].to_numpy(np.int64)
+    deltas = decode_varint(
+        b"".join(bytes(x) for x in pdf["doc_deltas"])
+    ).astype(np.int64)
+    tf = decode_varint(b"".join(bytes(x) for x in pdf["tfs"])).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    total = np.cumsum(deltas)
+    corr = np.zeros(len(n), dtype=np.int64)
+    corr[1:] = total[starts[1:] - 1]
+    return n, total - np.repeat(corr, n), tf
+
+
 def _decode_blocks_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
             continue
-        tids, docs, tfs, gens = [], [], [], []
-        for tid, deltas, tfbuf, n, gen in zip(
-            pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"], pdf["gen"]
-        ):
-            ids = np.cumsum(decode_varint(bytes(deltas)), dtype=np.uint64)
-            tf = decode_tfs(bytes(tfbuf))
-            tids.append(np.full(n, tid, dtype=np.int64))
-            docs.append(ids.astype(np.int64))
-            tfs.append(tf.astype(np.int64))
-            gens.append(np.full(n, gen, dtype=np.int32))
+        n, docs, tf = _decode_batch(pdf)
         yield pd.DataFrame(
             {
-                "term_id": np.concatenate(tids),
-                "doc_id": np.concatenate(docs),
-                "tf": np.concatenate(tfs),
-                "gen": np.concatenate(gens),
+                "term_id": np.repeat(pdf["term_id"].to_numpy(np.int64), n),
+                "doc_id": docs,
+                "tf": tf,
+                "gen": np.repeat(pdf["gen"].to_numpy(np.int64), n).astype(np.int32),
             }
         )
 
@@ -984,18 +993,20 @@ class PackedIndex:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                cols = {k: [] for k in ("term_id", "doc_id", "tf", "gen", "is_target")}
-                for tid, deltas, tfbuf, n, gen, tgt in zip(
-                    pdf["term_id"], pdf["doc_deltas"], pdf["tfs"], pdf["n"],
-                    pdf["gen"], pdf["is_target"],
-                ):
-                    ids = np.cumsum(decode_varint(bytes(deltas)), dtype=np.uint64)
-                    cols["term_id"].append(np.full(n, tid, dtype=np.int64))
-                    cols["doc_id"].append(ids.astype(np.int64))
-                    cols["tf"].append(decode_tfs(bytes(tfbuf)).astype(np.int64))
-                    cols["gen"].append(np.full(n, gen, dtype=np.int32))
-                    cols["is_target"].append(np.full(n, bool(tgt), dtype=bool))
-                yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+                n, docs, tf = _decode_batch(pdf)
+                yield pd.DataFrame(
+                    {
+                        "term_id": np.repeat(pdf["term_id"].to_numpy(np.int64), n),
+                        "doc_id": docs,
+                        "tf": tf,
+                        "gen": np.repeat(
+                            pdf["gen"].to_numpy(np.int64), n
+                        ).astype(np.int32),
+                        "is_target": np.repeat(
+                            pdf["is_target"].to_numpy(bool), n
+                        ),
+                    }
+                )
 
         decoded = blocks.select(
             "term_id", "n", "doc_deltas", "tfs", "gen", "is_target"
