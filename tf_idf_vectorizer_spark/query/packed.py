@@ -340,9 +340,14 @@ class PackedIndex:
         )
 
     # below this many posting entries, a single-pass exact decode+score
-    # (1 Spark job) beats WAND's 3 passes; WAND pays off when the posting
-    # volume is large — the 10^12-doc regime the index is designed for
-    WAND_THRESHOLD = 5_000_000
+    # (1 Spark job) beats WAND's 2-3 passes; WAND pays off when pruning
+    # can skip most of a LARGE posting volume — the 10^12-doc regime the
+    # index is designed for.  Measured crossover after the decode kernel
+    # was vectorized: the exact path clears 9M entries in ~2.7 s on 32
+    # cores, so the bound sits well above the old 5M (it is corpus-
+    # dependent — uniform tf distributions prune poorly, skewed ones
+    # prune early; callers can force mode='wand')
+    WAND_THRESHOLD = 20_000_000
 
     # ---- bounded single-node serving path ----------------------------
     # The reference evaluates queries in one address space (scoring.rs
@@ -354,7 +359,28 @@ class PackedIndex:
     # distributed paths take over — this is a serving-tier optimization,
     # not the scale path.
     DRIVER_DOC_STATS_MAX = 10_000_000
-    DRIVER_VOLUME_MAX = 20_000_000
+    # single-query dispatch bound: past ~2M posting entries the
+    # single-threaded numpy kernels lose to the 32-core distributed
+    # exact path (measured at 5M docs: driver 10 s vs distributed 3.4 s
+    # on an 8.9M-entry query); memory would allow far more
+    DRIVER_VOLUME_MAX = 2_000_000
+    # batch dispatch bound: one decode per DISTINCT term is shared by
+    # every query containing it, so the single-node path stays ahead to
+    # much larger total volumes (latency amortizes across the batch)
+    DRIVER_BATCH_VOLUME_MAX = 20_000_000
+
+    def _topandas_arrow(self, df: DataFrame) -> pd.DataFrame:
+        """toPandas with the Arrow path FORCED regardless of session
+        conf: py4j-pickled collect of wide/binary rows is 10-20x slower
+        (measured: 25 s vs ~2 s pinning 5M doc-stat rows)."""
+        conf = self.spark.conf
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = conf.get(key, "false")
+        conf.set(key, "true")
+        try:
+            return df.toPandas()
+        finally:
+            conf.set(key, prev)
 
     def _doc_stats_np(self):
         """Pinned (sorted doc_id, doc_len, gen) arrays, or None when the
@@ -363,7 +389,9 @@ class PackedIndex:
             if self.doc_num > self.DRIVER_DOC_STATS_MAX:
                 self._dstats = None
             else:
-                pdf = self.doc_dict.select("doc_id", "doc_len", "gen").toPandas()
+                pdf = self._topandas_arrow(
+                    self.doc_dict.select("doc_id", "doc_len", "gen")
+                )
                 ids = pdf["doc_id"].to_numpy(np.int64)
                 order = np.argsort(ids, kind="stable")
                 self._dstats = (
@@ -382,29 +410,19 @@ class PackedIndex:
         streams are self-delimiting, so the concatenated payloads decode
         in one call, and a segmented cumsum (first value of every block
         is an absolute doc id) restores ids without any per-block loop.
+        The fetch is an Arrow toPandas (py4j-pickled collect of binary
+        payloads is the hidden 10x cost at multi-million-entry volumes).
         """
         sids, dls, gens = self._doc_stats_np()
-        rows = (
-            self._blocks_for(tids)
-            .select("term_id", "n", "doc_deltas", "tfs", "gen")
-            .collect()
+        pdf = self._topandas_arrow(
+            self._blocks_for(tids).select("term_id", "n", "doc_deltas", "tfs", "gen")
         )
-        if not rows:
+        if not len(pdf):
             return {}
-        n = np.array([r["n"] for r in rows], dtype=np.int64)
-        deltas = decode_varint(
-            b"".join(bytes(r["doc_deltas"]) for r in rows)
-        ).astype(np.int64)
-        tf = decode_varint(b"".join(bytes(r["tfs"]) for r in rows)).astype(
-            np.float64
-        )
-        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-        total = np.cumsum(deltas)
-        corr = np.zeros(len(rows), dtype=np.int64)
-        corr[1:] = total[starts[1:] - 1]
-        dids = total - np.repeat(corr, n)
-        term = np.repeat(np.array([r["term_id"] for r in rows], dtype=np.int64), n)
-        gen = np.repeat(np.array([r["gen"] for r in rows], dtype=np.int64), n)
+        n, dids, tf_i = _decode_batch(pdf)
+        tf = tf_i.astype(np.float64)
+        term = np.repeat(pdf["term_id"].to_numpy(np.int64), n)
+        gen = np.repeat(pdf["gen"].to_numpy(np.int64), n)
         pos = np.searchsorted(sids, dids)
         pc = np.minimum(pos, sids.size - 1)
         ok = (pos < sids.size) & (sids[pc] == dids) & (gens[pc] == gen)
@@ -673,7 +691,10 @@ class PackedIndex:
             )
         if mode == "auto":
             volume = sum(r["df"] for r in qinfo.values())
-            if volume <= self.DRIVER_VOLUME_MAX and self._doc_stats_np() is not None:
+            if (
+                volume <= self.DRIVER_BATCH_VOLUME_MAX
+                and self._doc_stats_np() is not None
+            ):
                 return self._bm25_batch_driver(queries, qinfo, k, k1, b)
         qdf = self.spark.createDataFrame(
             pairs, "query_id long, term_id long, idf double"
