@@ -80,3 +80,48 @@ def test_running_term_df_stateful(spark, tmp_path):
     # intermediate state was really incremental: spark seen twice
     spark_vals = [r["df"] for r in rows if r["term"] == "spark"]
     assert len(spark_vals) >= 2 and spark_vals[0] < spark_vals[-1]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: an event arriving AFTER the watermark
+    passed its window is dropped (state stays bounded), and only
+    finalized windows are emitted."""
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    b1 = [
+        (1, dt(2024, 1, 1, 10, 0), "click", 1.0),
+        (2, dt(2024, 1, 1, 10, 30), "click", 2.0),
+        (3, dt(2024, 1, 1, 14, 0), "click", 4.0),  # advances watermark to 12:00
+    ]
+    b2 = [(4, dt(2024, 1, 1, 10, 45), "click", 8.0)]  # LATE: < watermark
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        # the watermark persists in the CHECKPOINT between runs, so the
+        # second availableNow run sees b2 against watermark 12:00
+        # (file sink: memory sinks cannot recover from a checkpoint)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .outputMode("append")  # only windows the watermark has closed
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {
+        r["win_start"].hour: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the 10:00 window finalized with the ON-TIME rows only; the late
+    # 10:45 event (value 8.0) was dropped; 14:00 never finalized
+    assert rows == {10: (2, 3.0)}, rows
