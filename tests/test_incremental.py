@@ -91,13 +91,15 @@ def test_incremental_equals_fresh(spark, base_docs, tmp_path):
     assert m_inc["total_len"] == m_fresh["total_len"]
     assert m_inc["n_terms"] == m_fresh["n_terms"]
 
+    from tf_idf_vectorizer_spark.ioutil import table_path
+
     ti = {
         r["term"]: (r["df"], r["idf"])
-        for r in spark.read.parquet(f"{inc_dir}/term_dict").collect()
+        for r in spark.read.parquet(table_path(inc_dir, m_inc, "term_dict")).collect()
     }
     tf_ = {
         r["term"]: (r["df"], r["idf"])
-        for r in spark.read.parquet(f"{fresh_dir}/term_dict").collect()
+        for r in spark.read.parquet(table_path(fresh_dir, m_fresh, "term_dict")).collect()
     }
     assert ti == tf_
 
@@ -118,15 +120,23 @@ def test_compact_preserves_results(spark, base_docs, tmp_path):
         ),
         delete_ids=[5, 6, 7],
     )
+    import json as _json
+
+    from tf_idf_vectorizer_spark.ioutil import table_path
+
+    def _postings_size():
+        meta = _json.load(open(f"{inc_dir}/meta.json"))
+        return (
+            spark.read.parquet(table_path(inc_dir, meta, "postings"))
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+
     before = _topk(spark, inc_dir, ["spark", "join"])
-    size_before = (
-        spark.read.parquet(f"{inc_dir}/postings").agg(F.sum("n")).first()[0]
-    )
+    size_before = _postings_size()
     inc.compact()
     after = _topk(spark, inc_dir, ["spark", "join"])
-    size_after = (
-        spark.read.parquet(f"{inc_dir}/postings").agg(F.sum("n")).first()[0]
-    )
+    size_after = _postings_size()
     _assert_same(before, after)
     assert size_after < size_before  # stale rows reclaimed
 

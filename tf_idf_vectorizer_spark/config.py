@@ -46,6 +46,16 @@ class EngineConfig:
         if self.dtype not in _SUPPORTED_DTYPES:
             raise ValueError(f"dtype must be one of {_SUPPORTED_DTYPES}")
 
+    @classmethod
+    def reference(cls, **overrides) -> "EngineConfig":
+        """The reference crate's default engine: dtype f16
+        (mod.rs:50 — ``TFIDFVectorizer<N = f16, ...>``).  Our default
+        stays f32 (exact scores); a user reproducing the reference
+        verbatim gets its lossy sqrt->f16->square chain with this
+        preset."""
+        overrides.setdefault("dtype", "f16")
+        return cls(**overrides)
+
     # --- TF quantize / denormalize chain (tfidf.rs:61-213) -------------
     def tf_quantize(self, counts: np.ndarray) -> np.ndarray:
         """Raw term count -> stored tf value (vectorized)."""

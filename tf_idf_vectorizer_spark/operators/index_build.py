@@ -490,8 +490,9 @@ def build_index(
         "built_in_sec": round(time.time() - t0, 3),
         "phases": phases,
     }
-    with open(f"{out_dir}/meta.json", "w") as fh:
-        json.dump(meta, fh, indent=2)
+    from tf_idf_vectorizer_spark.ioutil import write_json_atomic
+
+    write_json_atomic(meta, f"{out_dir}/meta.json")
     if cache_tf:
         tf.unpersist()
     return meta

@@ -175,6 +175,7 @@ def merge_indexes(
         "built_in_sec": round(time.time() - t0, 3),
         "merged_from": [dir_a, dir_b],
     }
-    with open(f"{out_dir}/meta.json", "w") as fh:
-        json.dump(meta, fh, indent=2)
+    from tf_idf_vectorizer_spark.ioutil import write_json_atomic
+
+    write_json_atomic(meta, f"{out_dir}/meta.json")
     return meta

@@ -70,11 +70,15 @@ def _merge_intervals(ivs: list) -> list:
 
 
 def _overlaps(ivs: list, lo: int, hi: int) -> bool:
-    """Does [lo, hi] intersect any merged interval?  (bisect on starts)"""
+    """Does [lo, hi] intersect any merged interval?  (bisect on starts)
+
+    Only the interval with the greatest start <= hi can intersect:
+    intervals are disjoint and sorted, so every later interval starts
+    past hi and every earlier one ends before that candidate starts."""
     import bisect
 
     i = bisect.bisect_right([a for a, _ in ivs], hi)
-    return i > 0 and ivs[i - 1][1] >= lo or (i < len(ivs) and ivs[i][0] <= hi)
+    return i > 0 and ivs[i - 1][1] >= lo
 
 
 def _decode_batch(pdf: pd.DataFrame):
@@ -139,18 +143,25 @@ class PackedIndex:
     """Reader over the table set written by build_index."""
 
     def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT):
-        from tf_idf_vectorizer_spark.ioutil import recover_dir
+        from tf_idf_vectorizer_spark.ioutil import recover_dir, table_path
 
         self.spark = spark
         self.dir = index_dir
         self.config = config
-        for table in ("term_dict", "doc_dict", "postings"):
-            if recover_dir(f"{index_dir}/{table}"):
-                # a recovery changed what lives under the path: drop any
-                # file listing / cached plan pinned to it (path-keyed)
-                spark.catalog.refreshByPath(f"{index_dir}/{table}")
+        # meta first: it is the commit pointer — the tables map names the
+        # LIVE directory of each table (versioned-table protocol; plain
+        # names for fresh builds and pre-protocol indexes)
         with open(f"{index_dir}/meta.json") as fh:
             self.meta = json.load(fh)
+        paths = {
+            t: table_path(index_dir, self.meta, t)
+            for t in ("term_dict", "doc_dict", "postings")
+        }
+        for p in paths.values():
+            if recover_dir(p):
+                # a recovery changed what lives under the path: drop any
+                # file listing / cached plan pinned to it (path-keyed)
+                spark.catalog.refreshByPath(p)
         # the stored tf already went through the build config's
         # quantize/denorm chain; reading with a different dtype would
         # silently score a different engine's values
@@ -160,8 +171,8 @@ class PackedIndex:
                 f"index at {index_dir} was built with dtype={built!r}; "
                 f"open it with a matching EngineConfig (got {config.dtype!r})"
             )
-        self.doc_dict = spark.read.parquet(f"{index_dir}/doc_dict").cache()
-        self.term_dict = spark.read.parquet(f"{index_dir}/term_dict").cache()
+        self.doc_dict = spark.read.parquet(paths["doc_dict"]).cache()
+        self.term_dict = spark.read.parquet(paths["term_dict"]).cache()
         self.doc_num = self.meta["doc_num"]
         # avg_len over all docs at query time (scoring.rs:415); an empty
         # corpus has no scorable docs, so any positive placeholder works
@@ -170,8 +181,67 @@ class PackedIndex:
         )
         # one relation reused by every query: file listing happens once,
         # per-query filters still prune partitions (bucket=) and row
-        # groups (term_id min/max) at scan time
-        self._postings_df = spark.read.parquet(f"{index_dir}/postings")
+        # groups (term_id min/max) at scan time.  Rows above the
+        # committed-generation watermark are orphans of a crashed batch
+        # (the meta write is the commit point) and must stay invisible.
+        self._postings_df = spark.read.parquet(paths["postings"]).filter(
+            F.col("gen") <= int(self.meta.get("generation", 0))
+        )
+
+    @classmethod
+    def from_iceberg(
+        cls,
+        spark: SparkSession,
+        namespace: str,
+        config: EngineConfig = DEFAULT,
+        catalog: str | None = None,
+    ) -> "PackedIndex":
+        """Open a published index straight out of an Iceberg catalog
+        (sources/iceberg.py publish_index).  The term_dict table's
+        snapshot id becomes the IDF generation source — the reference's
+        ``get_gen_num`` cache-invalidation counter (corpus/mod.rs:95-99
+        consumed by the lazy IDF refresh at mod.rs:95-107), here provided
+        by the catalog instead of a hand-rolled counter.  Requires the
+        iceberg-spark-runtime jar on the classpath (availability-gated,
+        like every Iceberg call site)."""
+        from tf_idf_vectorizer_spark.sources import iceberg as ice
+
+        catalog = catalog or ice.CATALOG
+        if not ice.iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on the classpath; open the "
+                "parquet index dir with PackedIndex(spark, dir) instead"
+            )
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.dir = f"{catalog}.{namespace}"
+        self.config = config
+        meta_row = ice.read_table(spark, namespace, "meta", catalog).first()
+        self.meta = json.loads(meta_row["meta"])
+        built = self.meta.get("dtype", "f32")
+        if built != config.dtype:
+            raise ValueError(
+                f"index at {self.dir} was built with dtype={built!r}; "
+                f"open it with a matching EngineConfig (got {config.dtype!r})"
+            )
+        self.doc_dict = ice.read_table(spark, namespace, "doc_dict", catalog).cache()
+        self.term_dict = ice.read_table(spark, namespace, "term_dict", catalog).cache()
+        self.doc_num = self.meta["doc_num"]
+        self.avg_len = (
+            self.meta["total_len"] / self.doc_num if self.doc_num > 0 else 1.0
+        )
+        self._postings_df = ice.read_table(spark, namespace, "postings", catalog)
+        self._stats_gen = ice.stats_generation(spark, namespace, catalog)
+        return self
+
+    def stats_generation(self) -> int | None:
+        """IDF-cache generation counter (reference get_gen_num,
+        corpus/mod.rs:95-99): the Iceberg term_dict snapshot id when the
+        index is catalog-served, else the parquet meta generation.  A
+        caller holding broadcast IDF values rebroadcasts when this moves."""
+        if getattr(self, "_stats_gen", None) is not None:
+            return self._stats_gen
+        return int(self.meta.get("generation", 0))
 
     # ------------------------------------------------------------------
     def _postings(self) -> DataFrame:
@@ -366,8 +436,43 @@ class PackedIndex:
     DRIVER_VOLUME_MAX = 2_000_000
     # batch dispatch bound: one decode per DISTINCT term is shared by
     # every query containing it, so the single-node path stays ahead to
-    # much larger total volumes (latency amortizes across the batch)
+    # much larger total volumes (latency amortizes across the batch).
+    # This row bound is additionally clamped by ACTUAL memory headroom
+    # (_driver_entry_budget): the decoded arrays plus their
+    # np.unique/argsort copies cost ~DRIVER_ENTRY_BYTES per posting
+    # entry in the Python driver, and a default-sized spark-submit
+    # driver (1g) would OOM long before 20M entries
     DRIVER_BATCH_VOLUME_MAX = 20_000_000
+    DRIVER_ENTRY_BYTES = 64
+
+    def _driver_entry_budget(self) -> int:
+        """Posting-entry budget for driver-side kernels: the static row
+        bound clamped to a quarter of the machine's available memory and
+        half the JVM driver heap (the Arrow collect materializes there
+        first).  Conservative by design — past the budget the
+        distributed paths serve, which is never wrong, only slower at
+        serving-tier volumes."""
+        budget = self.DRIVER_BATCH_VOLUME_MAX
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        avail = int(line.split()[1]) * 1024
+                        budget = min(
+                            budget, (avail // 4) // self.DRIVER_ENTRY_BYTES
+                        )
+                        break
+        except OSError:
+            pass
+        heap = self.spark.conf.get("spark.driver.memory", None)
+        if heap:
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            mult = units.get(heap[-1].lower())
+            if mult and heap[:-1].isdigit():
+                budget = min(
+                    budget, (int(heap[:-1]) * mult // 2) // self.DRIVER_ENTRY_BYTES
+                )
+        return budget
 
     def _topandas_arrow(self, df: DataFrame) -> pd.DataFrame:
         """toPandas with the Arrow path FORCED regardless of session
@@ -386,7 +491,11 @@ class PackedIndex:
         """Pinned (sorted doc_id, doc_len, gen) arrays, or None when the
         corpus exceeds the driver bound."""
         if not hasattr(self, "_dstats"):
-            if self.doc_num > self.DRIVER_DOC_STATS_MAX:
+            # the pin is ~24 bytes/doc of numpy arrays; the entry budget
+            # (memory-derived) additionally protects small drivers
+            if self.doc_num > min(
+                self.DRIVER_DOC_STATS_MAX, self._driver_entry_budget()
+            ):
                 self._dstats = None
             else:
                 pdf = self._topandas_arrow(
@@ -501,7 +610,7 @@ class PackedIndex:
         volume = sum(r["df"] for r in qinfo)
         if (
             volume < self.WAND_THRESHOLD
-            and volume <= self.DRIVER_VOLUME_MAX
+            and volume <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
             and self._doc_stats_np() is not None
         ):
             return self._bm25_driver_rows(qinfo, k, k1, b)
@@ -539,7 +648,7 @@ class PackedIndex:
             if volume >= self.WAND_THRESHOLD:
                 mode = "wand"
             elif (
-                volume <= self.DRIVER_VOLUME_MAX
+                volume <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
                 and self._doc_stats_np() is not None
             ):
                 mode = "driver"
@@ -692,7 +801,7 @@ class PackedIndex:
         if mode == "auto":
             volume = sum(r["df"] for r in qinfo.values())
             if (
-                volume <= self.DRIVER_BATCH_VOLUME_MAX
+                volume <= self._driver_entry_budget()
                 and self._doc_stats_np() is not None
             ):
                 return self._bm25_batch_driver(queries, qinfo, k, k1, b)
@@ -1179,10 +1288,17 @@ class PackedIndex:
             {"is_target": False}
         )
         scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
-        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        # materialize before unpersist would break laziness; leave the
-        # metadata cache to Spark's LRU (it is small: metadata columns only)
-        return out
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        # the result is k rows — materializing it here lets the metadata
+        # cache be released immediately instead of accreting one cached
+        # relation per head-term query over a long-lived serving session
+        blocks_meta.unpersist()
+        return self.spark.createDataFrame(
+            [(r["doc_id"], r["score"], r["doc_len"]) for r in rows],
+            "doc_id long, score double, doc_len long",
+        )
 
     def _score_candidates(
         self,

@@ -78,19 +78,29 @@ def publish_index(
             "iceberg-spark-runtime is not on the classpath; the parquet "
             "layout under the index dir remains the storage fallback"
         )
+    from tf_idf_vectorizer_spark.ioutil import table_path
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
     snaps: dict = {}
-    postings = spark.read.parquet(f"{index_dir}/postings")
+    # resolve live dirs through the meta commit pointer and publish only
+    # COMMITTED posting rows (the generation watermark excludes orphans
+    # of a crashed incremental batch)
+    postings = spark.read.parquet(table_path(index_dir, meta, "postings")).filter(
+        F.col("gen") <= int(meta.get("generation", 0))
+    )
     (
         postings.writeTo(_ident(namespace, "postings", catalog))
         .partitionedBy(F.col("salt"), F.col("bucket"))
         .createOrReplace()
     )
-    for name in ("doc_dict", "term_dict", "manifest"):
-        df = spark.read.parquet(f"{index_dir}/{name}")
+    for name in ("doc_dict", "term_dict"):
+        df = spark.read.parquet(table_path(index_dir, meta, name))
         df.writeTo(_ident(namespace, name, catalog)).createOrReplace()
-    with open(f"{index_dir}/meta.json") as fh:
-        meta = json.load(fh)
+    spark.read.parquet(f"{index_dir}/manifest").writeTo(
+        _ident(namespace, "manifest", catalog)
+    ).createOrReplace()
     meta_df = spark.createDataFrame([(json.dumps(meta),)], "meta string")
     meta_df.writeTo(_ident(namespace, "meta", catalog)).createOrReplace()
     for name in ("postings", "doc_dict", "term_dict", "manifest", "meta"):

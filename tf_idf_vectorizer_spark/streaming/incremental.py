@@ -31,10 +31,22 @@ sequence-number idiom):
   * ``compact()`` reclaims stale bytes: decode live rows, re-pack at
     gen 0 — the periodic two-phase merge (Iceberg table maintenance).
 
-Table rewrites go through a temp dir + rename-aside swap (crash between
-the two renames is recoverable at open time — ``recover_dir``), never
+Atomic batch commit (single writer, many readers): every maintenance op
+writes its new table versions to FRESH directories (``term_dict_v7``,
+``doc_dict_v7``, for compaction ``postings_v7``) and then commits by
+atomically replacing ``meta.json`` — whose ``tables`` map names the
+live directory of each table and whose ``generation`` is the postings
+watermark (readers ignore posting rows above it).  A crash at ANY point
+before the meta write leaves the previous consistent table set live and
+only orphan directories/files behind; a crash after it leaves the new
+consistent set live.  Replaying the batch (Structured Streaming's
+foreachBatch is at-least-once) converges either way: uncommitted
+posting files at the replayed generation are deleted before the append
+(idempotent append), versioned dirs are rewritten with mode=overwrite,
+and re-applying a COMMITTED batch is an MVCC overwrite/no-op.  Orphans
+are garbage-collected by the next successful commit.  Nothing goes
 through a driver collect — the same flow works when doc_dict has 10^12
-rows.  Driver-held state per batch is bounded by the BATCH size (the
+rows; driver-held state per batch is bounded by the BATCH size (the
 upsert/delete id lists), never by the corpus.
 
 Invariant (tested): applying any delta stream then querying ==
@@ -45,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import numpy as np
@@ -53,7 +66,7 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
-from tf_idf_vectorizer_spark.ioutil import recover_dir
+from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
 from tf_idf_vectorizer_spark.query.packed import (
     PackedIndex,
@@ -63,23 +76,7 @@ from tf_idf_vectorizer_spark.query.packed import (
 
 _DECODED = "term_id long, doc_id long, tf long, gen int"
 
-
-def _swap_write(df: DataFrame, path: str, parts: int) -> None:
-    """Replace a table via write-to-temp + rename-aside + rename-in:
-    at no point is the live path absent together with its predecessor,
-    so a crash at any step is recoverable by ``recover_dir`` (readers
-    of the old files finish their scans; no driver materialization)."""
-    tmp, old = path + "_new", path + "_old"
-    df.coalesce(parts).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    # drop any cached plans pinned to this path — without this a new
-    # spark.read.parquet(path) can silently serve the PRE-swap bytes
-    # from the cache manager (plans match by path)
-    df.sparkSession.catalog.refreshByPath(path)
+_TABLE_DIR_RE = re.compile(r"^(term_dict|doc_dict|postings)(_v\d+|_old|_new)?$")
 
 
 class IncrementalIndex:
@@ -89,17 +86,72 @@ class IncrementalIndex:
         self.spark = spark
         self.dir = index_dir
         self.config = config
+        meta = self._meta()
         for table in ("term_dict", "doc_dict", "postings"):
-            if recover_dir(f"{index_dir}/{table}"):
-                spark.catalog.refreshByPath(f"{index_dir}/{table}")
+            p = self._path(meta, table)
+            if recover_dir(p):
+                spark.catalog.refreshByPath(p)
 
     def _meta(self) -> dict:
         with open(f"{self.dir}/meta.json") as fh:
             return json.load(fh)
 
-    def _write_meta(self, meta: dict) -> None:
-        with open(f"{self.dir}/meta.json", "w") as fh:
-            json.dump(meta, fh, indent=2)
+    def _path(self, meta: dict, name: str) -> str:
+        from tf_idf_vectorizer_spark.ioutil import table_path
+
+        return table_path(self.dir, meta, name)
+
+    def _commit(self, meta: dict, new_tables: dict[str, str]) -> None:
+        """THE commit point: atomically replace meta.json so its tables
+        map names the freshly written directories, then garbage-collect
+        every table directory the new meta no longer references (orphans
+        of this or any earlier crashed attempt).  A reader holding the
+        previous meta may race the GC — the single-writer / reopen-on-
+        failure contract, same exposure as any destructive table swap."""
+        tables = dict(meta.get("tables", {}))
+        tables.update(new_tables)
+        meta["tables"] = tables
+        write_json_atomic(meta, f"{self.dir}/meta.json")
+        # a table absent from the map lives at its plain name (fresh
+        # builds) — it is just as live as a versioned one
+        keep = {
+            tables.get(n, n) for n in ("term_dict", "doc_dict", "postings")
+        }
+        for entry in os.listdir(self.dir):
+            if _TABLE_DIR_RE.match(entry) and entry not in keep:
+                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+
+    def _clean_orphan_postings(self, postings_path: str, gen: int) -> None:
+        """Idempotent-append guard: delete posting FILES carrying any row
+        at generation >= the one about to be written.  Such rows can only
+        be orphans of a crashed/replayed attempt (the committed watermark
+        is gen-1), and an append writes whole files at a single new
+        generation, so file-level deletion removes exactly the orphans.
+        Without this, a foreachBatch replay after a crash-after-append
+        would write a SECOND copy of the gen-N rows and both would become
+        visible once gen N commits (double-counted BM25 sums)."""
+        spark = self.spark
+        spark.catalog.refreshByPath(postings_path)  # bypass listing caches
+        try:
+            df = spark.read.parquet(postings_path)
+        except Exception:
+            return
+        files = [
+            r[0]
+            for r in df.filter(F.col("gen") >= gen)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        removed = False
+        for uri in files:
+            local = uri[7:] if uri.startswith("file://") else uri
+            local = local.split("file:", 1)[-1] if local.startswith("file:") else local
+            if os.path.exists(local):
+                os.remove(local)
+                removed = True
+        if removed:
+            spark.catalog.refreshByPath(postings_path)
 
     # ------------------------------------------------------------------
     def apply_batch(
@@ -132,12 +184,20 @@ class IncrementalIndex:
             raise ValueError("pass adds (text) OR tf_adds (counts), not both")
         spark = self.spark
         meta = self._meta()
-        gen = int(meta.get("generation", 0)) + 1
+        committed_gen = int(meta.get("generation", 0))
+        gen = committed_gen + 1
+        postings_path = self._path(meta, "postings")
+        # FIRST, before any postings-reading plan exists: remove
+        # uncommitted files a crashed attempt left at this (or a later)
+        # generation — the idempotent-append guard.  Doing it later would
+        # pull files out from under lazy plans that already listed them.
+        self._clean_orphan_postings(postings_path, gen)
         delete_ids = sorted(set(delete_ids or []))
-        doc_dict = spark.read.parquet(f"{self.dir}/doc_dict")
+        doc_dict = spark.read.parquet(self._path(meta, "doc_dict"))
+        orig_doc_dict = doc_dict
         dd_extra = [c for c in doc_dict.columns
                     if c not in ("doc_id", "doc_len", "norm", "gen")]
-        term_dict = spark.read.parquet(f"{self.dir}/term_dict")
+        term_dict = spark.read.parquet(self._path(meta, "term_dict"))
 
         ids_df = None
         if adds is not None:
@@ -178,7 +238,9 @@ class IncrementalIndex:
             ).first()
             ids = np.array(dead_ids, dtype=np.int64)
             bc = spark.sparkContext.broadcast(ids)
-            blocks = spark.read.parquet(f"{self.dir}/postings")
+            blocks = spark.read.parquet(postings_path).filter(
+                F.col("gen") <= committed_gen
+            )
             # range check over metadata only; payloads of non-matching
             # blocks never cross the Arrow boundary
             hit = blocks_overlapping_ids(blocks, bc)
@@ -244,16 +306,14 @@ class IncrementalIndex:
             )
             packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
                 "term_id", "block_seq"
-            ).write.partitionBy("salt").mode("append").parquet(
-                f"{self.dir}/postings"
-            )
-            spark.catalog.refreshByPath(f"{self.dir}/postings")
+            ).write.partitionBy("salt").mode("append").parquet(postings_path)
+            spark.catalog.refreshByPath(postings_path)
 
             # per-batch lineage (north rule: per-partition lineage +
             # metrics): one manifest row per salt touched by this
             # generation's blocks, computed from the WRITTEN metadata
             # columns only (payloads never read)
-            written = spark.read.parquet(f"{self.dir}/postings").filter(
+            written = spark.read.parquet(postings_path).filter(
                 F.col("gen") == gen
             )
             lineage = written.groupBy("salt").agg(
@@ -274,14 +334,23 @@ class IncrementalIndex:
             df_add = tf_ids.groupBy("term_id", "term").agg(
                 F.count("*").alias("df_add")
             )
-            doc_dict = doc_dict.unionByName(
-                new_doc_stats.select(
-                    "doc_id",
-                    "doc_len",
-                    F.lit(0.0).alias("norm"),
-                    F.lit(gen).alias("gen"),
-                    *[F.lit(None).cast("string").alias(c) for c in dd_extra],
+            add_rows = new_doc_stats.select(
+                "doc_id",
+                "doc_len",
+                F.lit(0.0).alias("norm"),
+                F.lit(gen).alias("gen"),
+            )
+            if dd_extra:
+                # extra doc_dict columns (url, lang, ...): overwritten
+                # docs carry their previous values forward; brand-new
+                # docs get a CORRECTLY TYPED null via the left join (a
+                # string-cast literal would AnalysisException on any
+                # non-string extra column at union time)
+                add_rows = add_rows.join(
+                    orig_doc_dict.select("doc_id", *dd_extra), "doc_id", "left"
                 )
+            doc_dict = doc_dict.unionByName(
+                add_rows.select("doc_id", "doc_len", "norm", "gen", *dd_extra)
             )
 
         # ---- stats rewrite (the IDF invalidation) -------------------------
@@ -327,16 +396,24 @@ class IncrementalIndex:
             # every term's idf moved -> every doc's norm is stale; never
             # leave the flag claiming otherwise (silent-wrong cosine)
             meta["norms"] = False
-        # term_dict first (smaller); then doc_dict; then meta
-        _swap_write(new_term_dict, f"{self.dir}/term_dict", 2)
-        _swap_write(
-            doc_dict.select("doc_id", "doc_len", "norm", "gen", *dd_extra),
-            f"{self.dir}/doc_dict", 4,
+        # write BOTH new table versions to fresh dirs, then commit: the
+        # atomic meta replace flips term_dict + doc_dict + the postings
+        # watermark together, so no reader ever pairs a new IDF table
+        # with the old doc universe (or sees this batch's postings before
+        # its stats)
+        ver = int(meta.get("table_version", 0)) + 1
+        meta["table_version"] = ver
+        td_name, dd_name = f"term_dict_v{ver}", f"doc_dict_v{ver}"
+        new_term_dict.coalesce(2).write.mode("overwrite").parquet(
+            f"{self.dir}/{td_name}"
         )
+        doc_dict.select("doc_id", "doc_len", "norm", "gen", *dd_extra).coalesce(
+            4
+        ).write.mode("overwrite").parquet(f"{self.dir}/{dd_name}")
         meta["n_terms"] = int(
-            spark.read.parquet(f"{self.dir}/term_dict").count()
+            spark.read.parquet(f"{self.dir}/{td_name}").count()
         )
-        self._write_meta(meta)
+        self._commit(meta, {"term_dict": td_name, "doc_dict": dd_name})
         if had_norms and refresh_norms:
             meta = self.refresh_norms()
         return meta
@@ -399,9 +476,12 @@ class IncrementalIndex:
             .drop("norm")
             .withColumnRenamed("new_norm", "norm")
         )
-        _swap_write(new_dd, f"{self.dir}/doc_dict", 4)
+        ver = int(meta.get("table_version", 0)) + 1
+        meta["table_version"] = ver
+        dd_name = f"doc_dict_v{ver}"
+        new_dd.coalesce(4).write.mode("overwrite").parquet(f"{self.dir}/{dd_name}")
         meta["norms"] = True
-        self._write_meta(meta)
+        self._commit(meta, {"doc_dict": dd_name})
         return meta
 
     # ------------------------------------------------------------------
@@ -428,27 +508,23 @@ class IncrementalIndex:
         packed = pack_blocks_jvm(
             rows, self.config.block_size, meta["term_buckets"], gen=0
         )
-        tmp = f"{self.dir}/postings_new"
+        # versioned commit covers postings too: the gen-0 re-pack and the
+        # doc_dict gen reset MUST flip together (a crash between them
+        # would otherwise leave a liveness join that matches nothing)
+        ver = int(meta.get("table_version", 0)) + 1
+        meta["table_version"] = ver
+        p_name, dd_name = f"postings_v{ver}", f"doc_dict_v{ver}"
         packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
             "term_id", "block_seq"
-        ).write.partitionBy("salt").mode("overwrite").parquet(tmp)
-        old = f"{self.dir}/postings_old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(f"{self.dir}/postings", old)
-        os.rename(tmp, f"{self.dir}/postings")
-        shutil.rmtree(old)
-        spark.catalog.refreshByPath(f"{self.dir}/postings")
-        dd_cols = idx.doc_dict.columns
-        _swap_write(
-            idx.doc_dict.select(
-                *[F.lit(0).alias("gen") if c == "gen" else F.col(c) for c in dd_cols]
-            ),
-            f"{self.dir}/doc_dict",
-            4,
+        ).write.partitionBy("salt").mode("overwrite").parquet(
+            f"{self.dir}/{p_name}"
         )
+        dd_cols = idx.doc_dict.columns
+        idx.doc_dict.select(
+            *[F.lit(0).alias("gen") if c == "gen" else F.col(c) for c in dd_cols]
+        ).coalesce(4).write.mode("overwrite").parquet(f"{self.dir}/{dd_name}")
         meta["generation"] = 0
-        self._write_meta(meta)
+        self._commit(meta, {"postings": p_name, "doc_dict": dd_name})
 
 
 def stream_updates(
@@ -464,42 +540,49 @@ def stream_updates(
     foreachBatch (FIXTURES.md §4 delta shape; op in add|overwrite|delete).
 
     Replay resolves LAST-OP-WINS per doc_id in seq order within the
-    batch: a delete sequenced after an add of the same doc removes it
-    from the upserts (and vice versa) — interleavings collapse to the
-    state the full replay would reach.  The per-batch driver collect is
-    bounded by ``max_batch_rows`` (the delta-stream contract: deltas are
-    batch-sized, never corpus-sized); larger batches raise instead of
-    silently OOMing the driver.
+    batch — as a DATAFLOW (window max-seq per doc), never a driver
+    collect: the only things that touch the driver are the delete id
+    list (longs, batch-bounded) and a row count.  Document text stays on
+    the executors end-to-end — a 1M-row batch of 100 KB docs is 100 GB
+    of text, which the old collect-based resolution would have pinned on
+    the driver.  ``max_batch_rows`` stays as the delta-stream contract
+    check (deltas are batch-sized, never corpus-sized).
 
     Returns the StreamingQuery; caller awaits termination."""
     inc = IncrementalIndex(spark, index_dir, config)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.orderBy("seq").limit(max_batch_rows + 1).collect()
-        if not rows:
+        from pyspark.sql import Window
+
+        n = batch_df.count()
+        if n == 0:
             return
-        if len(rows) > max_batch_rows:
+        if n > max_batch_rows:
             raise ValueError(
                 f"delta micro-batch exceeds max_batch_rows={max_batch_rows}; "
                 "split the stream or raise the bound"
             )
-        deletes: set = set()
-        upserts: dict = {}
-        for r in rows:  # seq-ordered: later ops override earlier ones
-            if r["op"] == "delete":
-                upserts.pop(r["doc_id"], None)
-                deletes.add(r["doc_id"])
-            elif r["op"] in ("add", "overwrite"):
-                deletes.discard(r["doc_id"])
-                upserts[r["doc_id"]] = r["text"]
-        adds = (
-            spark.createDataFrame(
-                list(upserts.items()), "doc_id long, text string"
-            )
-            if upserts
-            else None
+        w = Window.partitionBy("doc_id").orderBy(F.desc("seq"))
+        last = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .cache()
         )
-        inc.apply_batch(adds=adds, delete_ids=sorted(deletes))
+        delete_ids = sorted(
+            r[0]
+            for r in last.filter(F.col("op") == "delete")
+            .select("doc_id")
+            .collect()
+        )
+        adds = last.filter(F.col("op").isin("add", "overwrite")).select(
+            "doc_id", "text"
+        )
+        inc.apply_batch(
+            adds=adds if adds.limit(1).count() else None,
+            delete_ids=delete_ids,
+        )
+        last.unpersist()
 
     writer = delta_stream.writeStream.foreachBatch(apply).trigger(availableNow=True)
     if checkpoint_dir:
