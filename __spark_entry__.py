@@ -217,6 +217,30 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.tf.filter(F.col("doc_id") < 50).select("doc_id", "term", "tf")
 
 
+def q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-whitespace tokenizer kernel (latin word runs + CJK
+    character bigrams — the engine's sudachi stand-in, see
+    functions/tokenizers.py).  The sf text is pure ascii words, so a
+    deterministic Japanese suffix keyed by doc_id is appended on BOTH
+    engines to exercise the bigram path end to end."""
+    from tf_idf_vectorizer_spark.functions.tokenizers import (
+        term_frequencies_cjk,
+    )
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" 検索エンジン"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("高速化"),
+        ).alias("text"),
+    )
+    return term_frequencies_cjk(docs).filter(F.col("doc_id") < 50).select(
+        "doc_id", "term", "tf"
+    )
+
+
 def q_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _searcher(spark, sf_dir).df_stats.select("term", "df")
 
@@ -802,6 +826,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # dict order = the order the driver evaluates; r02 recorded only
+        # the first 50 keys, so the gates it has never attested (r01's
+        # two one-time failures included) and THIS round's additions come
+        # first — long-attested gates absorb any tail truncation
+        "add_terms_from_freq": q_add_terms_from_freq,
+        "title_sort": q_title_sort,
+        "score_counts": q_score_counts,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample,
+        "tokenize_cjk": q_tokenize_cjk,
         "term_frequencies": q_term_frequencies,
         "corpus_df_stats": q_df_stats,
         "idf_table": q_idf,
@@ -852,11 +886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_doclen": q_sort_by_doclen,
         "scale_counts": q_scale_counts,
         "sub_terms": q_sub_terms,
-        "add_terms_from_freq": q_add_terms_from_freq,
-        "title_sort": q_title_sort,
-        "score_counts": q_score_counts,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample_plan": q_frame_sample,
     }
 
 
@@ -868,6 +897,37 @@ def _oracle_sql_raw() -> dict[str, str]:
     return {
         "term_frequencies": SQL_PRELUDE
         + "SELECT doc_id, term, tf FROM tf WHERE doc_id < 50",
+        "tokenize_cjk": r"""
+WITH src AS (
+    SELECT doc_id, text || ' 検索エンジン' || (doc_id % 3) || '高速化' AS text
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM src
+),
+runs AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[぀-ヿ㐀-䶿一-鿿]+')) AS run
+    FROM src
+),
+pos AS (
+    SELECT doc_id, run, unnest(range(1, greatest(length(run), 2))) AS i
+    FROM runs
+),
+bi AS (
+    SELECT doc_id,
+           CASE WHEN length(run) = 1 THEN run
+                ELSE substring(run, CAST(i AS INT), 2) END AS term
+    FROM pos
+),
+alltok AS (
+    SELECT doc_id, term FROM words
+    UNION ALL SELECT doc_id, term FROM bi
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM alltok WHERE doc_id < 50 GROUP BY doc_id, term
+""",
         "corpus_df_stats": SQL_PRELUDE + "SELECT term, df FROM stats",
         "idf_table": SQL_PRELUDE + "SELECT term, df, idf FROM idf",
         "doc_stats": SQL_PRELUDE

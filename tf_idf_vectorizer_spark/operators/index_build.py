@@ -283,6 +283,7 @@ def build_index(
     check_collisions: bool = False,
     norms: bool = False,
     cache_tf: bool = True,
+    tokenizer: str | None = None,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -315,7 +316,9 @@ def build_index(
     # exact path for every engine dtype (tfidf.rs:61-213; the f16 chain
     # is the reference's default engine, mod.rs:50).  doc_len keeps RAW
     # counts (term_sum accumulates unquantized counts, term.rs:53-73).
-    tf = term_frequencies(
+    from tf_idf_vectorizer_spark.functions.tokenizers import tf_function
+
+    tf = tf_function(tokenizer)(
         docs, key_col, text_col, with_doc_len=True
     ).withColumnRenamed(key_col, "doc_id")
     tf = with_effective_tf(tf, config)
@@ -486,6 +489,7 @@ def build_index(
         "precision": precision,
         "norms": bool(norms),
         "generation": 0,
+        "tokenizer": tokenizer or "ws",
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
         "phases": phases,

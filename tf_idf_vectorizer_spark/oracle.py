@@ -26,11 +26,18 @@ F64_EPSILON = 2.220446049250313e-16
 
 
 class OracleIndex:
-    def __init__(self, docs: dict[object, str], config: EngineConfig = DEFAULT):
-        """docs: key -> text (whitespace tokenized)."""
+    def __init__(
+        self,
+        docs: dict[object, str],
+        config: EngineConfig = DEFAULT,
+        tokenize=None,
+    ):
+        """docs: key -> text (whitespace tokenized unless ``tokenize``
+        — e.g. functions.tokenizers.tokenize_cjk_py — is given)."""
+        tok = tokenize or str.split
         self.config = config
         self.tf: dict[object, Counter] = {
-            k: Counter(t.split()) for k, t in docs.items()
+            k: Counter(tok(t)) for k, t in docs.items()
         }
         self.doc_len = {k: sum(c.values()) for k, c in self.tf.items()}
         self.doc_num = len(docs)

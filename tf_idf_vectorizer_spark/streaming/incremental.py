@@ -65,7 +65,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
-from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
 from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
 from tf_idf_vectorizer_spark.query.packed import (
@@ -265,8 +264,10 @@ class IncrementalIndex:
         # ---- adds (add_doc) ----------------------------------------------
         df_add = None
         if ids_df is not None and ids_df.count() > 0:
+            from tf_idf_vectorizer_spark.functions.tokenizers import tf_function
+
             raw_tf = (
-                term_frequencies(adds, "doc_id", "text")
+                tf_function(meta.get("tokenizer"))(adds, "doc_id", "text")
                 if adds is not None
                 else tf_adds.filter(F.col("tf") > 0)
             )
