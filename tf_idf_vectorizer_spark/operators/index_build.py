@@ -230,22 +230,32 @@ def pack_blocks_jvm(
             "pairs",
         )
     )
-    # per-block max BM25 impact score at the canonical (k1, b) and the
-    # build-time avg_len — the north rule's "per-block max-score
-    # metadata".  The WAND path deliberately RECOMPUTES bounds from
-    # (max_tf, min_dl) at query time so they stay safe when incremental
-    # updates move avg_len/idf; max_score is the static fast-path /
-    # inspection value (0.0 when idf is not carried, e.g. delta packs).
+    # per-block max BM25 impact at the build (k1, b, avg_len, idf) — the
+    # north rule's "per-block max-score metadata".  This is the TRUE
+    # per-block maximum: max over the block's docs of each doc's OWN
+    # score(tf_d, dl_d) — strictly tighter than the (max_tf, min_dl)
+    # formula bound (which pairs the best tf with the best doc length,
+    # a combination no real doc may have; on uniform-tf corpora that gap
+    # is exactly why block pruning used to die).  Because it is achieved
+    # by a real doc, the query layer can also use the k-th largest
+    # max_score of one term's (doc-disjoint) blocks as a job-free θ.
+    # The WAND path RECOMPUTES bounds from (max_tf, min_dl) whenever the
+    # index moved (incremental updates shift avg_len/idf); max_score is
+    # trusted only while meta generation == 0 and (k1, b) match the
+    # build (0.0 when idf is not carried, e.g. delta packs).
     if has_idf and avg_len:
-        mt = F.col("max_tf").cast("double")
         ln_idf = F.log(F.col("idf").cast("double"))
-        denom = mt + F.lit(k1) * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("min_dl").cast("double") / F.lit(float(avg_len))
-        )
-        max_score = F.when(ln_idf <= 0, F.lit(0.0)).otherwise(
-            ln_idf * (mt * F.lit(k1 + 1.0)) / denom
-        )
+
+        def _pair_impact(x):
+            tfd = x["tf"].cast("double")
+            denom = tfd + F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b) * x["doc_len"].cast("double") / F.lit(float(avg_len))
+            )
+            return tfd * F.lit(k1 + 1.0) / denom
+
+        best = F.array_max(F.transform("pairs", _pair_impact))
+        max_score = F.when(ln_idf <= 0, F.lit(0.0)).otherwise(ln_idf * best)
     else:
         max_score = F.lit(0.0)
     g = g.withColumn("max_score", max_score)
@@ -490,6 +500,8 @@ def build_index(
         "norms": bool(norms),
         "generation": 0,
         "tokenizer": tokenizer or "ws",
+        "k1": float(config.k1),
+        "b": float(config.b),
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
         "phases": phases,

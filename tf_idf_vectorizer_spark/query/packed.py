@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
-from tf_idf_vectorizer_spark.operators.codec import decode_tfs, decode_varint
+from tf_idf_vectorizer_spark.operators.codec import decode_varint
 
 _DECODE_SCHEMA = "term_id long, doc_id long, tf long, gen int"
 
@@ -69,16 +69,37 @@ def _merge_intervals(ivs: list) -> list:
     return out
 
 
-def _overlaps(ivs: list, lo: int, hi: int) -> bool:
-    """Does [lo, hi] intersect any merged interval?  (bisect on starts)
+def _range_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized max over ``vals[lo_i:hi_i)`` per pair (0.0 where the
+    range is empty) — the classic interleaved ``maximum.reduceat`` trick;
+    used for doc-range-aligned WAND bounds."""
+    out = np.zeros(lo.size)
+    ne = lo < hi
+    if vals.size == 0 or not ne.any():
+        return out
+    v = np.append(vals, 0.0)  # sentinel makes index == len(vals) legal
+    idx = np.empty(2 * int(ne.sum()), dtype=np.int64)
+    idx[0::2] = lo[ne]
+    idx[1::2] = hi[ne]
+    out[ne] = np.maximum.reduceat(v, idx)[0::2]
+    return out
 
-    Only the interval with the greatest start <= hi can intersect:
-    intervals are disjoint and sorted, so every later interval starts
-    past hi and every earlier one ends before that candidate starts."""
-    import bisect
 
-    i = bisect.bisect_right([a for a, _ in ivs], hi)
-    return i > 0 and ivs[i - 1][1] >= lo
+def _merge_ranges(lo: np.ndarray, hi: np.ndarray):
+    """Vectorized disjoint merge of inclusive [lo, hi] ranges ->
+    (merged_lo, merged_hi) sorted arrays (adjacent ranges coalesce)."""
+    o = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[o], hi[o]
+    cm = np.maximum.accumulate(hi_s)
+    new = np.concatenate(([True], lo_s[1:] > cm[:-1] + 1))
+    return lo_s[new], np.maximum.reduceat(hi_s, np.flatnonzero(new))
+
+
+def _overlap_mask(m_lo: np.ndarray, m_hi: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """For each [lo_i, hi_i], does it intersect any merged range?  Only
+    the range with the greatest start <= hi_i can (disjoint + sorted)."""
+    i = np.searchsorted(m_lo, hi, side="right") - 1
+    return (i >= 0) & (m_hi[np.maximum(i, 0)] >= lo)
 
 
 def _decode_batch(pdf: pd.DataFrame):
@@ -142,7 +163,13 @@ def blocks_overlapping_ids(blocks: DataFrame, bc) -> DataFrame:
 class PackedIndex:
     """Reader over the table set written by build_index."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: EngineConfig = DEFAULT,
+        warm: bool = False,
+    ):
         from tf_idf_vectorizer_spark.ioutil import recover_dir, table_path
 
         self.spark = spark
@@ -187,6 +214,8 @@ class PackedIndex:
         self._postings_df = spark.read.parquet(paths["postings"]).filter(
             F.col("gen") <= int(self.meta.get("generation", 0))
         )
+        if warm:
+            self.warm()
 
     @classmethod
     def from_iceberg(
@@ -247,17 +276,31 @@ class PackedIndex:
     def _postings(self) -> DataFrame:
         return self._postings_df
 
-    def warm(self) -> "PackedIndex":
-        """Serving-tier warm-up: pin the term dictionary and doc stats
-        (when driver-sized), force the postings file listing, and run
-        one tiny decode so codegen + Python workers are hot.  Cuts the
-        first query's ~2-3 s cold cost; returns self for chaining."""
+    def warm(self, full: bool = True) -> "PackedIndex":
+        """Serving-tier warm-up (opt-in at open via warm=True): pin the
+        term dictionary and doc stats (when driver-sized), force the
+        postings file listing, and drive each query dispatch path once
+        on the RAREST corpus term — the cheapest term everywhere, so
+        Janino codegen of the scan/decode/score plans, the Arrow collect
+        path, and the Python decode workers are all hot before the first
+        real query.  Cuts the first query's ~2-3 s cold cost; returns
+        self for chaining."""
         if self._can_pin_dict():
             self._query_info([])  # builds the pinned term map
         self._doc_stats_np()
-        first = self.term_dict.select("term_id").first()
-        if first is not None:
-            self.decode_postings([first["term_id"]]).limit(1).collect()
+        rare = self.term_dict.orderBy("df", "term").first()
+        if rare is None:
+            return self
+        self.decode_postings([rare["term_id"]]).limit(1).collect()
+        if full:
+            # serving/driver path: pruned scan + Arrow collect + numpy
+            self.bm25_topk_rows([rare["term"]], k=1)
+            # WAND planner: metadata collect + flagged decode + rescore
+            qinfo = self._query_info([rare["term"]])
+            if qinfo:
+                self._wand_topk(
+                    qinfo, 1, self.config.k1, self.config.b
+                ).limit(1).collect()
         return self
 
     # vocab small enough to pin on the driver -> zero-job term lookup;
@@ -934,8 +977,27 @@ class PackedIndex:
         raise ValueError(q.op)
 
     # ------------------------------------------------------------------
-    def _block_ub(self, idf_map: dict[int, float], k1: float, b: float):
-        """Column expr: BM25 upper bound of a block from its metadata."""
+    def _tight_bounds_ok(self, k1: float, b: float) -> bool:
+        """True when the pack-time ``max_score`` column is a VALID (and
+        tight — achieved by a real doc) per-block bound for this query:
+        nothing moved idf/avg_len since the build (generation 0) and the
+        query runs the build's (k1, b)."""
+        m = self.meta
+        return (
+            int(m.get("generation", 0)) == 0
+            and float(m.get("k1", float("nan"))) == float(k1)
+            and float(m.get("b", float("nan"))) == float(b)
+            and "max_score" in self._postings().columns
+        )
+
+    def _block_ub(
+        self, idf_map: dict[int, float], k1: float, b: float, tight: bool = False
+    ):
+        """Column expr: BM25 upper bound of a block from its metadata.
+        The (max_tf, min_dl) formula bound is always valid; when
+        ``tight`` (see _tight_bounds_ok) the pack-time true max impact
+        is at most that, so the min of the two is both valid and
+        strictly better on uniform-tf corpora."""
         idf_col = F.create_map(
             *[F.lit(x) for pair in idf_map.items() for x in pair]
         )[F.col("term_id")]
@@ -946,7 +1008,10 @@ class PackedIndex:
             + F.lit(b) * F.col("min_dl").cast("double") / F.lit(self.avg_len)
         )
         raw = ln_idf * (mt * F.lit(k1 + 1.0)) / denom
-        return F.when(ln_idf <= 0, F.lit(0.0)).otherwise(raw)
+        ub = F.when(ln_idf <= 0, F.lit(0.0)).otherwise(raw)
+        if tight:
+            ub = F.least(ub, F.col("max_score"))
+        return ub
 
     # above this many block-metadata rows for the query's terms, keep the
     # fully distributed WAND (driver can't hold the metadata); below it,
@@ -969,19 +1034,38 @@ class PackedIndex:
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
-        # driver-side θ: when every posting row is live (gen 0), every
-        # query idf is > 1 (no negative contributions), and the rarest
-        # term's tf payload is driver-sized, ride its tf varints along
-        # with the metadata collect and bound θ WITHOUT a Spark job:
-        # score each rare posting with its block's max_dl — a per-doc
-        # LOWER bound, so the k-th largest is a valid θ (the fused theta
-        # job is the fallback).  Cuts forced WAND from 3 jobs to 2.
-        use_driver_theta = (
-            int(self.meta.get("generation", 0)) == 0
-            and min(float(r["idf"]) for r in qinfo) > 1.0
-            and int(rare["df"]) <= self.DRIVER_THETA_MAX_DF
-            and "max_dl" in self._postings().columns
-        )
+        tight = self._tight_bounds_ok(k1, b)
+        nonneg = min(float(r["idf"]) for r in qinfo) > 1.0
+        gen0 = int(self.meta.get("generation", 0)) == 0
+        # SPARSE terms: when a query term's whole posting payload is
+        # driver-sized (df <= DRIVER_THETA_MAX_DF, a few hundred KB of
+        # varints) and every posting row is live (gen 0), ride its
+        # doc_deltas + tfs along with the metadata collect.  Decoded
+        # driver-side they give three things no block metadata can:
+        #   θ floors  — each posting scored with its block's max_dl is a
+        #               real doc's score LOWER bound (k-th largest = θ);
+        #   per-POSTING upper bounds — a sparse term's blocks cover few
+        #               docs spread over huge doc-id ranges, so its
+        #               block-range bound credits it to EVERY other
+        #               block; the decoded ids credit it only to blocks
+        #               that truly contain one of its docs (this is what
+        #               lets head+rare queries prune at all);
+        #   exact candidate intervals — a surviving sparse block enters
+        #               the rescore as its docs' singleton ranges, not
+        #               its (enormous) [min_doc, max_doc] span.
+        sparse_ids: list[int] = []
+        if gen0 and "max_dl" in self._postings().columns:
+            sp_budget = 2 * self.DRIVER_THETA_MAX_DF
+            for r in sorted(qinfo, key=lambda r: (r["df"], r["term"])):
+                df_t = int(r["df"])
+                if df_t <= self.DRIVER_THETA_MAX_DF and df_t <= sp_budget:
+                    sparse_ids.append(r["term_id"])
+                    sp_budget -= df_t
+        # every term sparse -> the driver path already decodes it all in
+        # one job with exact scores; the WAND machinery adds nothing
+        # (forced mode still honors the caller, so only trim the list)
+        if len(sparse_ids) == len(tids) and len(tids) > 1:
+            sparse_ids = sparse_ids[:-1]
         # gen is part of the physical block identity: pack_blocks_jvm
         # restarts block_seq per generation, so after apply_batch the
         # same (term_id, salt, block_seq) exists once PER GEN — keys
@@ -989,69 +1073,134 @@ class PackedIndex:
         # and double-count their scores
         meta_cols = ["term_id", "salt", "block_seq", "gen", "min_doc",
                      "max_doc", "max_tf", "min_dl"]
+        if tight:
+            meta_cols.append("max_score")
         sel = [F.col(c) for c in meta_cols]
-        if use_driver_theta:
+        if sparse_ids:
+            is_sp = F.col("term_id").isin([int(t) for t in sparse_ids])
             sel += [
+                F.col("n"),
                 F.col("max_dl"),
-                F.when(
-                    F.col("term_id") == rare["term_id"], F.col("tfs")
-                ).alias("rare_tfs"),
+                F.when(is_sp, F.col("tfs")).alias("sp_tfs"),
+                F.when(is_sp, F.col("doc_deltas")).alias("sp_deltas"),
             ]
-        meta_df = (
-            self._blocks_for(tids).select(*sel)
-            .withColumn("ub", self._block_ub(idf_map, k1, b))
-        )
-        metas = meta_df.limit(self.META_COLLECT_MAX + 1).collect()
-        if len(metas) > self.META_COLLECT_MAX:
+        # Arrow fetch: a head query's metadata is 10^4-10^5 rows, and a
+        # py4j row collect of that costs 1-2 s — more than the pruning
+        # could ever save.  Everything below is vectorized numpy.
+        # Block metadata is IMMUTABLE per generation, so a small LRU
+        # makes repeated-term planning job-free in a serving session
+        # (bounded: ~15 MB/entry worst case x 8 entries).
+        ck = (tuple(sorted(tids)), tuple(sorted(sparse_ids)), tight,
+              float(k1), float(b), int(self.meta.get("generation", 0)))
+        cache = getattr(self, "_wand_meta_cache", None)
+        if cache is None:
+            cache = self._wand_meta_cache = {}
+        mp = cache.get(ck)
+        if mp is None:
+            meta_df = (
+                self._blocks_for(tids).select(*sel)
+                .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
+            )
+            mp = self._topandas_arrow(meta_df.limit(self.META_COLLECT_MAX + 1))
+            if len(mp) <= self.META_COLLECT_MAX:
+                while len(cache) >= 8:
+                    cache.pop(next(iter(cache)))
+                cache[ck] = mp
+        if len(mp) > self.META_COLLECT_MAX:
             return self._wand_topk_distributed(qinfo, k, k1, b)
-        if not metas:
+        n_blocks = len(mp)
+        if n_blocks == 0:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, doc_len long"
             )
+        bterm = mp["term_id"].to_numpy(np.int64)
+        bsalt = mp["salt"].to_numpy(np.int32)
+        bseq = mp["block_seq"].to_numpy(np.int32)
+        bgen = mp["gen"].to_numpy(np.int32)
+        blo = mp["min_doc"].to_numpy(np.int64)
+        bhi = mp["max_doc"].to_numpy(np.int64)
+        bub = mp["ub"].to_numpy(np.float64)
 
-        def _key(m):
-            return (m["term_id"], m["salt"], m["block_seq"], m["gen"])
-
-        term_ubs: dict[int, float] = {}
-        for m in metas:
-            term_ubs[m["term_id"]] = max(term_ubs.get(m["term_id"], 0.0), m["ub"])
-        sum_ub = sum(term_ubs.values())
+        # ---- decode sparse terms' postings (driver, vectorized) --------
+        # sp[tid] = (sorted doc_ids, per-posting ub, per-posting floor,
+        #            row index of each posting's block in mp)
+        sp: dict[int, tuple] = {}
+        if sparse_ids:
+            rows = np.flatnonzero(mp["sp_tfs"].notna().to_numpy())
+            for tid in sparse_ids:
+                rr = rows[bterm[rows] == tid]
+                if rr.size == 0:
+                    continue
+                nn = mp["n"].to_numpy(np.int64)[rr]
+                deltas = decode_varint(
+                    b"".join(bytes(mp["sp_deltas"].iloc[i]) for i in rr)
+                ).astype(np.int64)
+                tf = decode_varint(
+                    b"".join(bytes(mp["sp_tfs"].iloc[i]) for i in rr)
+                ).astype(np.float64)
+                starts = np.concatenate(([0], np.cumsum(nn)[:-1]))
+                total = np.cumsum(deltas)
+                corr = np.zeros(rr.size, dtype=np.int64)
+                corr[1:] = total[starts[1:] - 1]
+                ids = total - np.repeat(corr, nn)
+                ln_idf = math.log(idf_map[tid])
+                min_dl = np.repeat(mp["min_dl"].to_numpy(np.float64)[rr], nn)
+                max_dl = np.repeat(mp["max_dl"].to_numpy(np.float64)[rr], nn)
+                if ln_idf > 0:
+                    ub_p = ln_idf * (k1 + 1.0) * tf / (
+                        tf + k1 * (1.0 - b + b * min_dl / self.avg_len)
+                    )
+                    fl_p = ln_idf * (k1 + 1.0) * tf / (
+                        tf + k1 * (1.0 - b + b * max_dl / self.avg_len)
+                    )
+                else:
+                    ub_p = np.zeros(ids.size)
+                    fl_p = np.full(ids.size, -np.inf)
+                o = np.argsort(ids, kind="stable")
+                sp[tid] = (ids[o], ub_p[o], fl_p[o], np.repeat(rr, nn)[o])
 
         theta = -math.inf
-        if use_driver_theta:
-            # ---- θ without a job: conservative scores of the rare
-            # term's postings (tf decoded from the collected varints,
-            # doc_len bounded by the block's max_dl)
-            ests = []
-            ln_idf = math.log(float(rare["idf"]))
-            for m in metas:
-                if m["term_id"] != rare["term_id"] or m["rare_tfs"] is None:
-                    continue
-                tf = decode_tfs(bytes(m["rare_tfs"])).astype(np.float64)
-                denom = tf + k1 * (1.0 - b + b * float(m["max_dl"]) / self.avg_len)
-                ests.append(ln_idf * (k1 + 1.0) * tf / denom)
-            if ests:
-                est = np.concatenate(ests)
-                if est.size >= k:
-                    theta = float(np.partition(est, -k)[-k])
-
+        # θ from sparse floors: each sparse posting's floor is a REAL
+        # doc's score lower bound (doc_len <= its block's max_dl; other
+        # terms only add when nonneg), so the k-th largest per term is a
+        # valid θ — job-free.
+        if nonneg:
+            for _ids, _ub, fl, _br in sp.values():
+                if fl.size >= k and math.isfinite(fl[0]):
+                    kth_fl = float(np.partition(fl, fl.size - k)[fl.size - k])
+                    theta = max(theta, kth_fl)
+        if tight and nonneg:
+            # θ FROM METADATA ALONE, no job, any term size: a block's
+            # max_score is ACHIEVED by one of its docs (true per-doc
+            # max, index_build.py), blocks of one term hold disjoint
+            # docs, and with every ln(idf) > 0 the other terms only add
+            # — so the k-th largest max_score among a single term's
+            # blocks is the k-th member of a set of k REAL docs' score
+            # floors: a valid θ.  Take the best term.
+            ms = mp["max_score"].to_numpy(np.float64)
+            o = np.lexsort((-ms, bterm))
+            ts = bterm[o]
+            first = np.concatenate(([True], ts[1:] != ts[:-1]))
+            starts = np.flatnonzero(first)
+            sizes = np.diff(np.append(starts, n_blocks))
+            rank = np.arange(n_blocks) - np.repeat(starts, sizes)
+            kth = ms[o][rank == k - 1]  # per term with >= k blocks
+            if kth.size:
+                theta = float(kth.max())
         # ---- job 1 (fallback): fused theta pass -------------------------
-        rare_blocks = sorted(
-            (m for m in metas if m["term_id"] == rare["term_id"]),
-            key=lambda m: -m["ub"],
-        )[: max(4, (4 * k) // self.config.block_size + 1)]
-        if not math.isfinite(theta) and rare_blocks and not use_driver_theta:
-            seed_keys = {_key(m) for m in rare_blocks}
-            seed_iv = _merge_intervals(
-                [(m["min_doc"], m["max_doc"]) for m in rare_blocks]
-            )
-            theta_keys = [
-                (m, _key(m) in seed_keys)
-                for m in metas
-                if _overlaps(seed_iv, m["min_doc"], m["max_doc"])
-            ]
+        rare_idx = np.flatnonzero(bterm == rare["term_id"])
+        if not math.isfinite(theta) and rare_idx.size:
+            n_seed = max(4, (4 * k) // self.config.block_size + 1)
+            seeds = rare_idx[np.argsort(-bub[rare_idx], kind="stable")[:n_seed]]
+            m_lo, m_hi = _merge_ranges(blo[seeds], bhi[seeds])
+            part = _overlap_mask(m_lo, m_hi, blo, bhi)
+            flags = np.zeros(n_blocks, dtype=bool)
+            flags[seeds] = True
             top = (
-                self._score_flagged(theta_keys, qinfo, k1, b)
+                self._score_flagged_arrays(
+                    bterm[part], bsalt[part], bseq[part], bgen[part],
+                    flags[part], qinfo, k1, b,
+                )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -1059,48 +1208,122 @@ class PackedIndex:
             if len(top) >= k:
                 theta = top[-1]["score"]
 
-        # ---- driver-side prune -----------------------------------------
+        # ---- driver-side prune: doc-range-ALIGNED bounds ----------------
+        # For a doc d in block B of term t, any other term t' can only
+        # contribute through the ONE t'-block containing d — which must
+        # overlap B's doc range (blocks of a term partition the doc-id
+        # space).  Bounding t' by the max ub of its OVERLAPPING blocks
+        # (not its global max) is what lets multi-term queries prune at
+        # all on corpora where per-term global maxima are uniform.
+        # Vectorized: per-term sorted (start, end, ub) arrays + a
+        # reduceat range-max; O(total blocks x terms) with no Python
+        # loop over blocks.
         if math.isfinite(theta):
-            surv = [
-                m for m in metas
-                if m["ub"] + (sum_ub - term_ubs[m["term_id"]]) >= theta
-            ]
+            others = np.zeros(n_blocks)
+            for t2 in np.unique(bterm):
+                mask = bterm != t2
+                if int(t2) in sp:
+                    # postings-level: credit t2 only to blocks that
+                    # contain one of its ACTUAL docs (its block ranges
+                    # are sparse-wide and would credit everything)
+                    ids2, ub2, _fl, _br = sp[int(t2)]
+                    lo_idx = np.searchsorted(ids2, blo[mask], side="left")
+                    hi_idx = np.searchsorted(ids2, bhi[mask], side="right")
+                    others[mask] += _range_max(ub2, lo_idx, hi_idx)
+                    continue
+                ii = np.flatnonzero(bterm == t2)
+                srt = ii[np.argsort(blo[ii], kind="stable")]
+                s2, e2, u2 = blo[srt], bhi[srt], bub[srt]
+                lo_idx = np.searchsorted(e2, blo[mask], side="left")
+                hi_idx = np.searchsorted(s2, bhi[mask], side="right")
+                others[mask] += _range_max(u2, lo_idx, hi_idx)
+            # 1e-9 slack absorbs float-order differences between θ's and
+            # the bounds' arithmetic — only ever makes pruning LESS
+            # aggressive, never unsound
+            keep = bub + others >= theta - 1e-9
         else:
-            surv = list(metas)
-        if not surv:
+            keep = np.ones(n_blocks, dtype=bool)
+        n_surv = int(keep.sum())
+        if n_surv == 0:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, doc_len long"
             )
 
         # ---- job 2: fused candidate + exact rescore ---------------------
-        surv_keys = {_key(m) for m in surv}
-        surv_iv = _merge_intervals([(m["min_doc"], m["max_doc"]) for m in surv])
-        final_keys = [
-            (m, _key(m) in surv_keys)
-            for m in metas
-            if _overlaps(surv_iv, m["min_doc"], m["max_doc"])
-        ]
-        scored = self._score_flagged(final_keys, qinfo, k1, b)
+        if n_surv >= 0.9 * n_blocks:
+            # pruning removed (almost) nothing — on bound-adversarial
+            # corpora the flag/join machinery would only add overhead
+            # over the plain exact single pass, which selects the same
+            # top-k by the pruning proof.  This caps WAND's worst case
+            # at exact + one metadata job.
+            scored = self._score_decoded(
+                self.decode_postings(tids), qinfo, k1, b
+            )
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if len(tids) == 1:
+            # one term: its blocks hold disjoint doc ranges, so a
+            # surviving doc's whole posting mass for the query sits in
+            # its own (surviving) block — no pruned block participates
+            # in the exact rescore
+            part = keep
+        else:
+            # candidate intervals: surviving DENSE blocks contribute
+            # their [min_doc, max_doc] span; surviving SPARSE blocks
+            # contribute their decoded docs as singleton ranges (their
+            # block span covers nearly the whole corpus and would drag
+            # every other block back into the rescore)
+            lo_parts, hi_parts = [], []
+            sp_surv = np.zeros(n_blocks, dtype=bool)
+            for _tid, (ids_t, _u, _f, brow) in sp.items():
+                in_surv = keep[brow]
+                if in_surv.any():
+                    d = ids_t[in_surv]
+                    lo_parts.append(d)
+                    hi_parts.append(d)
+                sp_surv[np.unique(brow)] = True
+            dense_surv = keep & ~sp_surv
+            if dense_surv.any():
+                lo_parts.append(blo[dense_surv])
+                hi_parts.append(bhi[dense_surv])
+            m_lo, m_hi = _merge_ranges(
+                np.concatenate(lo_parts), np.concatenate(hi_parts)
+            )
+            part = _overlap_mask(m_lo, m_hi, blo, bhi)
+        scored = self._score_flagged_arrays(
+            bterm[part], bsalt[part], bseq[part], bgen[part], keep[part],
+            qinfo, k1, b,
+        )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     _KDF_SCHEMA = (
         "term_id long, salt int, block_seq int, gen int, is_target boolean"
     )
 
-    def _score_flagged(
+    def _score_flagged_arrays(
         self,
-        keyed: list,
+        term: np.ndarray,
+        salt: np.ndarray,
+        bseq: np.ndarray,
+        gen: np.ndarray,
+        flags: np.ndarray,
         qinfo: list[dict],
         k1: float,
         b: float,
     ) -> DataFrame:
-        """Driver-planned wrapper: (meta_row, is_target) list -> kdf."""
-        key_rows = [
-            (m["term_id"], m["salt"], m["block_seq"], m["gen"], bool(flag))
-            for m, flag in keyed
-        ]
-        kdf = F.broadcast(self.spark.createDataFrame(key_rows, self._KDF_SCHEMA))
-        tids = sorted({m["term_id"] for m, _ in keyed})
+        """Driver-planned wrapper: block-key arrays + is_target flags ->
+        broadcast kdf, built from pandas so the keys ship via Arrow
+        (py4j tuple shipping at 10^5 keys costs ~1 s)."""
+        kdf_pd = pd.DataFrame(
+            {
+                "term_id": term.astype(np.int64),
+                "salt": salt.astype(np.int32),
+                "block_seq": bseq.astype(np.int32),
+                "gen": gen.astype(np.int32),
+                "is_target": flags.astype(bool),
+            }
+        )
+        kdf = F.broadcast(self.spark.createDataFrame(kdf_pd))
+        tids = sorted(set(term.tolist()))
         return self._score_flagged_df(kdf, tids, qinfo, k1, b)
 
     def _score_flagged_df(
@@ -1180,11 +1403,15 @@ class PackedIndex:
         only happen within a salt)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+        tight = self._tight_bounds_ok(k1, b)
+        nonneg = min(float(r["idf"]) for r in qinfo) > 1.0
         key_cols = ["term_id", "salt", "block_seq", "gen"]
         meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
+        if tight:
+            meta_cols.append("max_score")
         blocks_meta = (
             self._blocks_for(tids).select(*meta_cols)
-            .withColumn("ub", self._block_ub(idf_map, k1, b))
+            .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
             .cache()
         )
 
@@ -1195,17 +1422,38 @@ class PackedIndex:
         }
         sum_ub = sum(term_ubs.values())
 
-        # ---- pass 1: θ from the rarest term's best blocks -------------
+        theta = -math.inf
+        if tight and nonneg:
+            # metadata-only θ (same proof as the driver-planned path:
+            # per-term block max_scores are achieved by k distinct real
+            # docs) — replaces the seed DECODE pass with one tiny
+            # metadata aggregation
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("term_id").orderBy(
+                F.desc("max_score"), *key_cols
+            )
+            kth = (
+                blocks_meta.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == k)
+                .agg(F.max("max_score"))
+                .first()[0]
+            )
+            if kth is not None:
+                theta = float(kth)
+
+        # ---- pass 1 (fallback): θ from the rarest term's best blocks --
         # seed block METADATA is tiny (top few blocks of one term) and
         # safe to collect; their doc payloads are not
         rare = min(qinfo, key=lambda r: (r["df"], r["term"]))
-        seeds = (
-            blocks_meta.filter(F.col("term_id") == rare["term_id"])
-            .orderBy(F.desc("ub"), *key_cols)
-            .limit(max(4, (4 * k) // self.config.block_size + 1))
-            .collect()
-        )
-        theta = -math.inf
+        seeds = []
+        if not math.isfinite(theta):
+            seeds = (
+                blocks_meta.filter(F.col("term_id") == rare["term_id"])
+                .orderBy(F.desc("ub"), *key_cols)
+                .limit(max(4, (4 * k) // self.config.block_size + 1))
+                .collect()
+            )
         if seeds:
             seed_iv = _merge_intervals([(m["min_doc"], m["max_doc"]) for m in seeds])
             seed_keys = {
@@ -1236,17 +1484,22 @@ class PackedIndex:
                 theta = top[-1]["score"]
 
         # ---- pass 2: prune blocks by upper bound (distributed filter) --
-        if math.isfinite(theta):
-            surv_cond = None
-            for tid in tids:
-                others = sum_ub - term_ubs.get(tid, 0.0)
-                c = (F.col("term_id") == tid) & (
-                    F.col("ub") + F.lit(others) >= F.lit(theta)
-                )
-                surv_cond = c if surv_cond is None else (surv_cond | c)
-            surviving = blocks_meta.filter(surv_cond)
-        else:
-            surviving = blocks_meta
+        if not math.isfinite(theta):
+            # no θ means no pruning: the kdf machinery would decode
+            # everything anyway — take the plain exact single pass
+            blocks_meta.unpersist()
+            scored = self._score_decoded(
+                self.decode_postings(tids), qinfo, k1, b
+            )
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        surv_cond = None
+        for tid in tids:
+            others = sum_ub - term_ubs.get(tid, 0.0)
+            c = (F.col("term_id") == tid) & (
+                F.col("ub") + F.lit(others) >= F.lit(theta)
+            )
+            surv_cond = c if surv_cond is None else (surv_cond | c)
+        surviving = blocks_meta.filter(surv_cond)
 
         # ---- pass 3: fused candidate + exact rescore --------------------
         # any top-k doc appears in >=1 surviving block; its rows in
@@ -1267,26 +1520,35 @@ class PackedIndex:
                 }
             )
 
-        surv_iv = (
-            surviving.select("salt", "min_doc", "max_doc")
-            .groupBy("salt")
-            .applyInPandas(_merge_iv_pdf, "salt int, lo long, hi long")
-        )
-        cand_blocks = (
-            blocks_meta.alias("m")
-            .join(
-                surv_iv.alias("iv"),
-                (F.col("m.salt") == F.col("iv.salt"))
-                & (F.col("m.min_doc") <= F.col("iv.hi"))
-                & (F.col("m.max_doc") >= F.col("iv.lo")),
+        if len(tids) == 1:
+            # one term -> doc-disjoint blocks -> pruned blocks never
+            # participate in the exact rescore (see driver-planned path)
+            kdf = surviving.select(*key_cols).withColumn(
+                "is_target", F.lit(True)
             )
-            .select(*[F.col(f"m.{c}") for c in key_cols])
-            .distinct()
-        )
-        surv_flag = surviving.select(*key_cols).withColumn("is_target", F.lit(True))
-        kdf = cand_blocks.join(surv_flag, key_cols, "left").fillna(
-            {"is_target": False}
-        )
+        else:
+            surv_iv = (
+                surviving.select("salt", "min_doc", "max_doc")
+                .groupBy("salt")
+                .applyInPandas(_merge_iv_pdf, "salt int, lo long, hi long")
+            )
+            cand_blocks = (
+                blocks_meta.alias("m")
+                .join(
+                    surv_iv.alias("iv"),
+                    (F.col("m.salt") == F.col("iv.salt"))
+                    & (F.col("m.min_doc") <= F.col("iv.hi"))
+                    & (F.col("m.max_doc") >= F.col("iv.lo")),
+                )
+                .select(*[F.col(f"m.{c}") for c in key_cols])
+                .distinct()
+            )
+            surv_flag = surviving.select(*key_cols).withColumn(
+                "is_target", F.lit(True)
+            )
+            kdf = cand_blocks.join(surv_flag, key_cols, "left").fillna(
+                {"is_target": False}
+            )
         scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
         rows = (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
