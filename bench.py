@@ -128,6 +128,39 @@ def main() -> None:
     idx.bm25_topk(QUERY_MIX[2][1], k=10, mode="wand").collect()
     results["q_wand_forced"] = round(time.time() - t0, 3)
 
+    # ---- 3b. WAND in its own regime: an >=8M-entry forced-WAND query
+    # must not lose to the exact path.  The corpus is crawl-ordered
+    # (synth_topical_corpus): site marker terms are head-sized but live
+    # in contiguous doc-id ranges, the posting shape real web corpora
+    # have and block-range-aligned bounds exploit.  (On an iid corpus
+    # every block looks alike and WAND's worst case is exact + one
+    # cached metadata fetch — measured separately in BASELINE.md.)
+    if os.environ.get("BENCH_WAND8M", "1") != "0":
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex as _PI
+        from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
+
+        n8 = int(os.environ.get("BENCH_WAND8M_DOCS", "6000000"))
+        docs8 = synth_topical_corpus(spark, n8)
+        t0 = time.time()
+        build_index(spark, docs8, f"{tmp}/w8_idx", config=cfg, cache_tf=False)
+        results["wand8m_build_sec"] = round(time.time() - t0, 1)
+        idx8 = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
+        w8_terms = ["t1", "t2", "s3", "s9"]
+        results["wand8m_entries"] = int(
+            sum(r["df"] for r in idx8._query_info(w8_terms))
+        )
+        w8_rows = {}
+        for mode in ("exact", "wand"):
+            idx8.bm25_topk(w8_terms, k=10, mode=mode).collect()  # codegen
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                rows = idx8.bm25_topk(w8_terms, k=10, mode=mode).collect()
+                reps.append(time.time() - t0)
+            w8_rows[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
+            results[f"wand8m_{mode}"] = round(min(reps), 3)
+        results["wand8m_rank_match"] = w8_rows["exact"] == w8_rows["wand"]
+
     # batch mode: 200 queries in ONE job — the per-query scheduling
     # floor amortizes (this is how a serving tier should call the engine)
     batch = {

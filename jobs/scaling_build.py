@@ -81,19 +81,22 @@ def main() -> int:
     build_index(spark, warm, f"{args.out}_warm", config=cfg)
 
     best = None
+    best_phases: dict[str, float] = {}
     for t in range(args.trials):
         tgt = f"{args.out}_t{t}"
         shutil.rmtree(tgt, ignore_errors=True)
         t0 = time.time()
-        build_index(spark, docs, tgt, config=cfg)
+        meta = build_index(spark, docs, tgt, config=cfg)
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        if best is None or dt < best:
+            best, best_phases = dt, meta.get("phases", {})
     out = {
         "master": spark.sparkContext.master,
         "docs": args.docs,
         "build_sec_best": round(best, 3),
         "docs_per_sec": round(args.docs / best, 1),
         "trials": args.trials,
+        "phases": best_phases,
     }
     if args.ctl:
         n_par = spark.sparkContext.defaultParallelism

@@ -456,7 +456,13 @@ def build_index(
     else:
         writer.mode("overwrite").parquet(f"{out_dir}/postings")
     _mark("pack_write")
-    doc_dict.coalesce(max(1, shuffle_parts // 4)).write.mode("overwrite").parquet(
+    # range-partitioned + sorted by doc_id: the WAND rescore pushes
+    # candidate doc-id range predicates into this scan, and sorted row
+    # groups turn them into real parquet pruning (a pruned rescore
+    # touches a handful of candidate ranges, not the whole dictionary)
+    doc_dict.repartitionByRange(
+        max(1, shuffle_parts // 4), "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"
     )
     term_dict.coalesce(max(1, shuffle_parts // 8)).write.mode("overwrite").parquet(

@@ -1039,9 +1039,10 @@ class PackedIndex:
         gen0 = int(self.meta.get("generation", 0)) == 0
         # SPARSE terms: when a query term's whole posting payload is
         # driver-sized (df <= DRIVER_THETA_MAX_DF, a few hundred KB of
-        # varints) and every posting row is live (gen 0), ride its
-        # doc_deltas + tfs along with the metadata collect.  Decoded
-        # driver-side they give three things no block metadata can:
+        # varints) and every posting row is live (gen 0), fetch its
+        # doc_deltas + tfs in a second, term-pruned scan (cached with
+        # the metadata).  Decoded driver-side they give three things no
+        # block metadata can:
         #   θ floors  — each posting scored with its block's max_dl is a
         #               real doc's score LOWER bound (k-th largest = θ);
         #   per-POSTING upper bounds — a sparse term's blocks cover few
@@ -1071,19 +1072,11 @@ class PackedIndex:
         # same (term_id, salt, block_seq) exists once PER GEN — keys
         # without gen would join one metadata row onto several blocks
         # and double-count their scores
-        meta_cols = ["term_id", "salt", "block_seq", "gen", "min_doc",
+        meta_cols = ["term_id", "salt", "block_seq", "gen", "n", "min_doc",
                      "max_doc", "max_tf", "min_dl"]
         if tight:
             meta_cols.append("max_score")
         sel = [F.col(c) for c in meta_cols]
-        if sparse_ids:
-            is_sp = F.col("term_id").isin([int(t) for t in sparse_ids])
-            sel += [
-                F.col("n"),
-                F.col("max_dl"),
-                F.when(is_sp, F.col("tfs")).alias("sp_tfs"),
-                F.when(is_sp, F.col("doc_deltas")).alias("sp_deltas"),
-            ]
         # Arrow fetch: a head query's metadata is 10^4-10^5 rows, and a
         # py4j row collect of that costs 1-2 s — more than the pruning
         # could ever save.  Everything below is vectorized numpy.
@@ -1095,17 +1088,49 @@ class PackedIndex:
         cache = getattr(self, "_wand_meta_cache", None)
         if cache is None:
             cache = self._wand_meta_cache = {}
-        mp = cache.get(ck)
-        if mp is None:
+        # block-count bound from the dictionary (no job): at gen 0 every
+        # posting row is live, so each term holds ceil(df/block_size)
+        # full blocks plus at most one partial block per salt — if even
+        # the bound exceeds the driver budget, plan distributed without
+        # touching the metadata, and otherwise fetch WITHOUT a .limit()
+        # guard (the guard forces a single-partition exchange — measured
+        # 2x the whole fetch cost).  After incremental batches stale
+        # generations keep rows df can't see, so gen>0 falls back to the
+        # guarded fetch.
+        n_salts = int(self.meta.get("n_salts", 1) or 1)
+        if gen0:
+            est_blocks = sum(
+                -(-int(r["df"]) // self.config.block_size) for r in qinfo
+            ) + n_salts * len(qinfo)
+            if est_blocks > self.META_COLLECT_MAX:
+                return self._wand_topk_distributed(qinfo, k, k1, b)
+        hit = cache.get(ck)
+        if hit is None:
             meta_df = (
                 self._blocks_for(tids).select(*sel)
                 .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
             )
-            mp = self._topandas_arrow(meta_df.limit(self.META_COLLECT_MAX + 1))
+            if not gen0:
+                meta_df = meta_df.limit(self.META_COLLECT_MAX + 1)
+            mp = self._topandas_arrow(meta_df)
+            # sparse payloads come from a SECOND, term-pruned scan: the
+            # metadata scan must not project tfs/doc_deltas, or parquet
+            # reads the HEAD terms' full payload chunks just to null
+            # them out — the cost the metadata-only fetch exists to skip
+            spf = None
+            if sparse_ids and len(mp) <= self.META_COLLECT_MAX:
+                spf = self._topandas_arrow(
+                    self._blocks_for(sparse_ids).select(
+                        "term_id", "salt", "block_seq", "gen", "n",
+                        "min_dl", "max_dl", "doc_deltas", "tfs",
+                    )
+                )
             if len(mp) <= self.META_COLLECT_MAX:
                 while len(cache) >= 8:
                     cache.pop(next(iter(cache)))
-                cache[ck] = mp
+                cache[ck] = (mp, spf)
+        else:
+            mp, spf = hit
         if len(mp) > self.META_COLLECT_MAX:
             return self._wand_topk_distributed(qinfo, k, k1, b)
         n_blocks = len(mp)
@@ -1125,18 +1150,22 @@ class PackedIndex:
         # sp[tid] = (sorted doc_ids, per-posting ub, per-posting floor,
         #            row index of each posting's block in mp)
         sp: dict[int, tuple] = {}
-        if sparse_ids:
-            rows = np.flatnonzero(mp["sp_tfs"].notna().to_numpy())
+        if spf is not None and len(spf):
+            kcols = ["term_id", "salt", "block_seq", "gen"]
+            pos = mp[kcols].copy()
+            pos["_mp_row"] = np.arange(n_blocks, dtype=np.int64)
+            spm = spf.merge(pos, on=kcols, how="inner")
+            spt = spm["term_id"].to_numpy(np.int64)
             for tid in sparse_ids:
-                rr = rows[bterm[rows] == tid]
+                rr = np.flatnonzero(spt == tid)
                 if rr.size == 0:
                     continue
-                nn = mp["n"].to_numpy(np.int64)[rr]
+                nn = spm["n"].to_numpy(np.int64)[rr]
                 deltas = decode_varint(
-                    b"".join(bytes(mp["sp_deltas"].iloc[i]) for i in rr)
+                    b"".join(bytes(spm["doc_deltas"].iloc[i]) for i in rr)
                 ).astype(np.int64)
                 tf = decode_varint(
-                    b"".join(bytes(mp["sp_tfs"].iloc[i]) for i in rr)
+                    b"".join(bytes(spm["tfs"].iloc[i]) for i in rr)
                 ).astype(np.float64)
                 starts = np.concatenate(([0], np.cumsum(nn)[:-1]))
                 total = np.cumsum(deltas)
@@ -1144,8 +1173,8 @@ class PackedIndex:
                 corr[1:] = total[starts[1:] - 1]
                 ids = total - np.repeat(corr, nn)
                 ln_idf = math.log(idf_map[tid])
-                min_dl = np.repeat(mp["min_dl"].to_numpy(np.float64)[rr], nn)
-                max_dl = np.repeat(mp["max_dl"].to_numpy(np.float64)[rr], nn)
+                min_dl = np.repeat(spm["min_dl"].to_numpy(np.float64)[rr], nn)
+                max_dl = np.repeat(spm["max_dl"].to_numpy(np.float64)[rr], nn)
                 if ln_idf > 0:
                     ub_p = ln_idf * (k1 + 1.0) * tf / (
                         tf + k1 * (1.0 - b + b * min_dl / self.avg_len)
@@ -1157,7 +1186,8 @@ class PackedIndex:
                     ub_p = np.zeros(ids.size)
                     fl_p = np.full(ids.size, -np.inf)
                 o = np.argsort(ids, kind="stable")
-                sp[tid] = (ids[o], ub_p[o], fl_p[o], np.repeat(rr, nn)[o])
+                brow = np.repeat(spm["_mp_row"].to_numpy(np.int64)[rr], nn)
+                sp[tid] = (ids[o], ub_p[o], fl_p[o], brow[o])
 
         theta = -math.inf
         # θ from sparse floors: each sparse posting's floor is a REAL
@@ -1186,7 +1216,7 @@ class PackedIndex:
             rank = np.arange(n_blocks) - np.repeat(starts, sizes)
             kth = ms[o][rank == k - 1]  # per term with >= k blocks
             if kth.size:
-                theta = float(kth.max())
+                theta = max(theta, float(kth.max()))
         # ---- job 1 (fallback): fused theta pass -------------------------
         rare_idx = np.flatnonzero(bterm == rare["term_id"])
         if not math.isfinite(theta) and rare_idx.size:
@@ -1289,15 +1319,99 @@ class PackedIndex:
                 np.concatenate(lo_parts), np.concatenate(hi_parts)
             )
             part = _overlap_mask(m_lo, m_hi, blo, bhi)
+        # pruned-volume driver rescore: after pruning, the candidate
+        # decode is usually tiny, and the distributed rescore's
+        # doc_dict join would cost more than the whole query
+        part_vol = int(mp["n"].to_numpy(np.int64)[part].sum())
+        if (
+            part_vol <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
+            and self._doc_stats_np() is not None
+        ):
+            rows = self._rescore_driver_rows(
+                bterm[part], bsalt[part], bseq[part], bgen[part], keep[part],
+                idf_map, k1, b, k,
+            )
+            return self.spark.createDataFrame(
+                rows, "doc_id long, score double, doc_len long"
+            )
+        r_lo, r_hi = _merge_ranges(blo[part], bhi[part])
+        if r_lo.size > 64:
+            dr = [(int(r_lo[0]), int(r_hi[-1]))]
+        else:
+            dr = list(zip(r_lo.tolist(), r_hi.tolist()))
         scored = self._score_flagged_arrays(
             bterm[part], bsalt[part], bseq[part], bgen[part], keep[part],
-            qinfo, k1, b,
+            qinfo, k1, b, doc_ranges=dr,
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     _KDF_SCHEMA = (
         "term_id long, salt int, block_seq int, gen int, is_target boolean"
     )
+
+    def _rescore_driver_rows(
+        self,
+        term: np.ndarray,
+        salt: np.ndarray,
+        bseq: np.ndarray,
+        gen: np.ndarray,
+        flags: np.ndarray,
+        idf_map: dict[int, float],
+        k1: float,
+        b: float,
+        k: int,
+    ) -> list[tuple]:
+        """Driver-side exact rescore of a pruned block set: ONE Arrow
+        payload fetch (broadcast key join, no shuffle), numpy decode +
+        scoring against the pinned doc stats.  After pruning, the
+        candidate volume is tiny — a distributed rescore would spend
+        10-100x the candidate decode cost shuffling the doc_dict join;
+        this path exists so a pruned head-term query costs two jobs and
+        no shuffle at all.  Requires _doc_stats_np() (driver-sized
+        corpus stats), which the caller checks."""
+        kdf_pd = pd.DataFrame(
+            {
+                "term_id": term.astype(np.int64),
+                "salt": salt.astype(np.int32),
+                "block_seq": bseq.astype(np.int32),
+                "gen": gen.astype(np.int32),
+                "is_target": flags.astype(bool),
+            }
+        )
+        kdf = F.broadcast(self.spark.createDataFrame(kdf_pd))
+        tids = sorted(set(term.tolist()))
+        pdf = self._topandas_arrow(
+            self._blocks_for(tids)
+            .join(kdf, ["term_id", "salt", "block_seq", "gen"])
+            .select("term_id", "n", "doc_deltas", "tfs", "gen", "is_target")
+        )
+        if not len(pdf):
+            return []
+        sids, dls, gens = self._doc_stats_np()
+        n, dids, tf_i = _decode_batch(pdf)
+        tf = tf_i.astype(np.float64)
+        ptid = np.repeat(pdf["term_id"].to_numpy(np.int64), n)
+        pgen = np.repeat(pdf["gen"].to_numpy(np.int64), n)
+        ptgt = np.repeat(pdf["is_target"].to_numpy(bool), n)
+        pos = np.searchsorted(sids, dids)
+        pc = np.minimum(pos, sids.size - 1)
+        ok = (pos < sids.size) & (sids[pc] == dids) & (gens[pc] == pgen)
+        dids, ptid, tf, ptgt = dids[ok], ptid[ok], tf[ok], ptgt[ok]
+        dl = dls[pc[ok]]
+        ln_idf = np.zeros(dids.size)
+        for t, v in idf_map.items():
+            ln_idf[ptid == t] = math.log(v)
+        score = ln_idf * (k1 + 1.0) * tf / (
+            tf + k1 * (1.0 - b + b * dl / self.avg_len)
+        )
+        uids, inv = np.unique(dids, return_inverse=True)
+        sums = np.bincount(inv, weights=score)
+        udl = np.zeros(uids.size)
+        udl[inv] = dl
+        # candidates: docs appearing in >=1 TARGET (surviving) block
+        cand = np.zeros(uids.size, dtype=bool)
+        cand[inv[ptgt]] = True
+        return self._topk_rows(uids[cand], sums[cand], udl[cand], k)
 
     def _score_flagged_arrays(
         self,
@@ -1309,6 +1423,7 @@ class PackedIndex:
         qinfo: list[dict],
         k1: float,
         b: float,
+        doc_ranges: list[tuple] | None = None,
     ) -> DataFrame:
         """Driver-planned wrapper: block-key arrays + is_target flags ->
         broadcast kdf, built from pandas so the keys ship via Arrow
@@ -1324,7 +1439,7 @@ class PackedIndex:
         )
         kdf = F.broadcast(self.spark.createDataFrame(kdf_pd))
         tids = sorted(set(term.tolist()))
-        return self._score_flagged_df(kdf, tids, qinfo, k1, b)
+        return self._score_flagged_df(kdf, tids, qinfo, k1, b, doc_ranges)
 
     def _score_flagged_df(
         self,
@@ -1333,11 +1448,16 @@ class PackedIndex:
         qinfo: list[dict],
         k1: float,
         b: float,
+        doc_ranges: list[tuple] | None = None,
     ) -> DataFrame:
         """Decode the flagged blocks (kdf: block key -> is_target) in one
         job and exact-BM25-score the docs that appear in >=1 target
         block; the flag rides through the decode kernel so candidate
-        membership never touches the driver."""
+        membership never touches the driver.  ``doc_ranges`` (merged,
+        disjoint, covering every doc id the flagged blocks can decode)
+        is pushed into the doc_dict scan — with the build's doc-id-
+        sorted layout that prunes the dictionary read to the candidate
+        row groups instead of the whole corpus."""
         blocks = self._blocks_for(tids).join(
             kdf, ["term_id", "salt", "block_seq", "gen"]
         )
@@ -1372,9 +1492,14 @@ class PackedIndex:
             "term_id long, idf double",
         )
         keys = ["doc_id"] + (["gen"] if "gen" in self.doc_dict.columns else [])
-        joined = decoded.join(F.broadcast(qdf), "term_id").join(
-            self.doc_dict.select(*(keys + ["doc_len"])), keys
-        )
+        dd = self.doc_dict.select(*(keys + ["doc_len"]))
+        if doc_ranges:
+            cond = None
+            for lo, hi in doc_ranges:
+                c = F.col("doc_id").between(int(lo), int(hi))
+                cond = c if cond is None else (cond | c)
+            dd = dd.filter(cond)
+        joined = decoded.join(F.broadcast(qdf), "term_id").join(dd, keys)
         tfd = F.col("tf").cast("double")
         denom = tfd + F.lit(k1) * (
             F.lit(1.0 - b)

@@ -65,3 +65,46 @@ def synth_corpus(
         text.alias("text"),
         lang.alias("lang"),
     )
+
+
+def synth_topical_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int = 1000,
+    n_sites: int = 16,
+    zipf_tokens: int = 12,
+    site_tokens: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Zipf corpus with TOPICAL LOCALITY: doc ids are crawl-ordered, and
+    each contiguous run of ``n_docs/n_sites`` docs (a "site" / crawl
+    segment) carries its own marker term ``s<g>`` alongside the global
+    Zipf vocabulary.  Site terms are head-sized (df = docs per site) but
+    live only in their segment's doc-id range — the posting-list shape
+    real web corpora have (Common-Crawl pages arrive grouped by site and
+    segment) and the one block-range-aligned WAND bounds exploit: an
+    adversarial iid corpus makes every block look alike, a crawl-ordered
+    one does not.  -> (doc_id, text); deterministic, pure JVM."""
+    rng = F.xxhash64
+    base = spark.range(
+        0, n_docs, 1, spark.sparkContext.defaultParallelism
+    )
+    i = F.col("id")
+
+    def tok(j):
+        u = F.pmod(rng(i, j, F.lit(seed), F.lit("tok")), F.lit(1_000_000)) / F.lit(
+            1_000_000.0
+        )
+        rank = F.floor(F.exp(u * F.log(F.lit(float(vocab))))).cast("long")
+        return F.concat(F.lit("t"), rank.cast("string"))
+
+    zipf = F.transform(F.sequence(F.lit(1), F.lit(zipf_tokens)), tok)
+    site = (i / F.lit(max(1, n_docs // n_sites))).cast("long")
+    n_site_tok = (
+        F.pmod(rng(i, F.lit(seed), F.lit("stf")), F.lit(site_tokens)) + 1
+    ).cast("int")
+    site_run = F.array_repeat(
+        F.concat(F.lit("s"), site.cast("string")), n_site_tok
+    )
+    text = F.array_join(F.concat(zipf, site_run), " ")
+    return base.select(i.alias("doc_id"), text.alias("text"))
