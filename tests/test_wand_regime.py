@@ -1,0 +1,127 @@
+"""WAND in its own regime: the round-3 planner features — tight
+pack-time bounds, sparse-term postings-level pruning, the driver
+rescore, and the crawl-ordered (topical) corpus shape — all while
+staying rank-identical to the exact path and the pure-Python oracle.
+
+Reference pruning contract: block-max pruning must not change the
+top-k (scoring.rs:410-435 computes exact BM25; WAND is our scale
+addition and must be invisible in results)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tf_idf_vectorizer_spark.config import EngineConfig
+from tf_idf_vectorizer_spark.operators.index_build import build_index
+from tf_idf_vectorizer_spark.oracle import OracleIndex
+from tf_idf_vectorizer_spark.query.packed import PackedIndex
+from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
+
+CFG = EngineConfig(n_salts=4, block_size=64, term_buckets=16)
+
+
+@pytest.fixture(scope="module")
+def topical(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("regime") / "topical")
+    docs = synth_topical_corpus(
+        spark, 6000, vocab=500, n_sites=8, seed=11
+    ).cache()
+    build_index(spark, docs, out, config=CFG)
+    oracle = OracleIndex({r["doc_id"]: r["text"] for r in docs.collect()})
+    return PackedIndex(spark, out, CFG), oracle
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 9), r["doc_len"]) for r in df.collect()
+    ]
+
+
+QUERIES = [
+    ["t1"],                      # head, single term -> doc-disjoint prune
+    ["s3"],                      # site term: one contiguous range
+    ["t1", "s2", "s6"],          # head + two site segments
+    ["t1", "t2", "s5"],          # the wand8m bench shape
+    ["t2", "t3"],                # two heads, no locality (escape path)
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["head1", "site", "h2s", "hhs", "hh"])
+def test_wand_rank_identical_topical(topical, terms):
+    idx, oracle = topical
+    w = _rows(idx.bm25_topk(terms, k=15, mode="wand"))
+    e = _rows(idx.bm25_topk(terms, k=15, mode="exact"))
+    assert w == e
+    o = oracle.similarity("bm25", terms, k=15)
+    assert [(d, round(s, 9)) for d, s, _l in w] == [
+        (d, round(s, 9)) for d, s, _l in o
+    ]
+
+
+def test_wand_rare_sparse_path(topical):
+    """A genuinely rare term triggers the sparse postings machinery
+    (decoded ids, postings-level bounds, singleton rescore intervals)."""
+    idx, oracle = topical
+    rare = (
+        idx.term_dict.filter(F.col("df").between(2, 30))
+        .orderBy("df", "term")
+        .first()["term"]
+    )
+    terms = ["t1", rare]
+    w = _rows(idx.bm25_topk(terms, k=10, mode="wand"))
+    e = _rows(idx.bm25_topk(terms, k=10, mode="exact"))
+    assert w == e
+    assert len(w) == 10
+
+
+def test_site_query_prunes_to_segment(topical):
+    """Block-range alignment must prune a site-term query to ~its own
+    doc-id segment: the surviving+candidate volume is a small fraction
+    of the head term's postings."""
+    idx, _ = topical
+    seen = {}
+
+    orig = idx._rescore_driver_rows
+
+    def spy(term, salt, bseq, gen, flags, idf_map, k1, b, k):
+        seen["part_blocks"] = int(term.size)
+        seen["targets"] = int(flags.sum())
+        return orig(term, salt, bseq, gen, flags, idf_map, k1, b, k)
+
+    idx._rescore_driver_rows = spy
+    try:
+        idx.bm25_topk(["t1", "s4"], k=10, mode="wand").collect()
+    finally:
+        idx._rescore_driver_rows = orig
+    assert seen, "pruned query should take the driver rescore"
+    total_blocks = idx._blocks_for(
+        [r["term_id"] for r in idx._query_info(["t1", "s4"])]
+    ).count()
+    # s4's segment is 1/8 of the corpus; candidates must be well under
+    # half of all blocks (they'd be ~all without range alignment)
+    assert seen["part_blocks"] < 0.5 * total_blocks
+
+
+def test_wand_after_batch_keeps_rank_identity(spark, topical, tmp_path):
+    """gen>0 disables the tight/sparse fast paths (stale rows break the
+    df-derived bounds); the guarded fallback must stay rank-identical."""
+    from tf_idf_vectorizer_spark.streaming.incremental import IncrementalIndex
+
+    idx, _ = topical
+    out = str(tmp_path / "inc")
+    import shutil
+
+    shutil.copytree(idx.dir, out)
+    inc = IncrementalIndex(spark, out, CFG)
+    batch = spark.createDataFrame(
+        [(2, "t1 t1 s0 fresh"), (6001, "t1 t2 s9 new")],
+        "doc_id long, text string",
+    )
+    inc.apply_batch(batch)
+    idx2 = PackedIndex(spark, out, CFG)
+    assert int(idx2.meta["generation"]) >= 1
+    w = _rows(idx2.bm25_topk(["t1", "s0"], k=10, mode="wand"))
+    e = _rows(idx2.bm25_topk(["t1", "s0"], k=10, mode="exact"))
+    assert w == e
