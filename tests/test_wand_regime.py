@@ -104,6 +104,56 @@ def test_site_query_prunes_to_segment(topical):
     assert seen["part_blocks"] < 0.5 * total_blocks
 
 
+def test_wand_after_compact_keeps_tight_bounds(spark, topical, tmp_path):
+    """compact() returns the index to generation 0 — exactly when
+    _tight_bounds_ok trusts max_score — so the re-pack MUST recompute
+    the true per-block max under current idf/avg_len (a 0.0 max_score
+    would zero every bound and prune the entire index)."""
+    from tf_idf_vectorizer_spark.streaming.incremental import IncrementalIndex
+
+    idx, _ = topical
+    out = str(tmp_path / "cmp")
+    import shutil
+
+    shutil.copytree(idx.dir, out)
+    inc = IncrementalIndex(spark, out, CFG)
+    batch = spark.createDataFrame(
+        [(3, "t1 t1 s0 changed")], "doc_id long, text string"
+    )
+    inc.apply_batch(batch)
+    inc.compact()
+    idx2 = PackedIndex(spark, out, CFG)
+    assert int(idx2.meta["generation"]) == 0
+    assert idx2._tight_bounds_ok(CFG.k1, CFG.b)
+    for terms in (["t1"], ["t1", "s4"], ["t1", "t2", "s5"]):
+        w = _rows(idx2.bm25_topk(terms, k=10, mode="wand"))
+        e = _rows(idx2.bm25_topk(terms, k=10, mode="exact"))
+        assert w == e
+        assert len(w) == 10
+
+
+def test_merged_index_keeps_tight_bounds(spark, topical, tmp_path):
+    """merge_indexes re-packs at generation 0 with the merged corpus
+    stats; max_score must be true under the NEW idf/avg_len."""
+    from tf_idf_vectorizer_spark.operators.merge import merge_indexes
+    from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
+
+    idx, _ = topical
+    out_b = str(tmp_path / "b")
+    docs_b = synth_topical_corpus(
+        spark, 2000, vocab=500, n_sites=8, seed=23
+    ).withColumn("doc_id", F.col("doc_id") + 6000)
+    build_index(spark, docs_b, out_b, config=CFG)
+    out_m = str(tmp_path / "m")
+    merge_indexes(spark, idx.dir, out_b, out_m, config=CFG)
+    m = PackedIndex(spark, out_m, CFG)
+    assert m._tight_bounds_ok(CFG.k1, CFG.b)
+    for terms in (["t1"], ["t1", "s2"]):
+        w = _rows(m.bm25_topk(terms, k=10, mode="wand"))
+        e = _rows(m.bm25_topk(terms, k=10, mode="exact"))
+        assert w == e
+
+
 def test_wand_after_batch_keeps_rank_identity(spark, topical, tmp_path):
     """gen>0 disables the tight/sparse fast paths (stale rows break the
     df-derived bounds); the guarded fallback must stay rank-identical."""

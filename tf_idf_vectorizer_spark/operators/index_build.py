@@ -508,6 +508,11 @@ def build_index(
         "tokenizer": tokenizer or "ws",
         "k1": float(config.k1),
         "b": float(config.b),
+        # max_score was packed with real idf/avg_len: the query layer
+        # may trust it as a tight bound while generation stays 0 and
+        # (k1, b) match.  Any pack path that omits idf must NOT set
+        # this (max_score would be 0.0 and zero out every bound).
+        "tight_bounds": True,
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
         "phases": phases,

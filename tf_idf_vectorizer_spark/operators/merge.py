@@ -118,12 +118,19 @@ def merge_indexes(
         int(config.n_salts), -(-(max_id + 1) // int(config.salt_target_rows))
     )
     salt_range = max(1, (max_id + n_salts) // n_salts)
-    salted = rows.select(
+    # idf rides to the packer so per-block max_score is the TRUE max
+    # impact under the merged corpus stats (tight WAND bounds survive
+    # the merge; without it max_score would be 0 and must not be
+    # trusted — see meta["tight_bounds"])
+    salted = rows.join(
+        F.broadcast(term_dict.select("term_id", "idf")), "term_id"
+    ).select(
         "term_id",
         (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
         "doc_id",
         "tf",
         "doc_len",
+        F.col("idf").cast("double").alias("idf"),
     )
     build_avg_len = float(total_len) / max(doc_num, 1)
     packed = pack_blocks_jvm(
@@ -171,6 +178,9 @@ def merge_indexes(
         "precision": precision,
         "norms": norms,
         "generation": 0,
+        "k1": float(config.k1),
+        "b": float(config.b),
+        "tight_bounds": True,
         "dtype": config.dtype,
         "built_in_sec": round(time.time() - t0, 3),
         "merged_from": [dir_a, dir_b],

@@ -984,7 +984,8 @@ class PackedIndex:
         query runs the build's (k1, b)."""
         m = self.meta
         return (
-            int(m.get("generation", 0)) == 0
+            bool(m.get("tight_bounds", False))
+            and int(m.get("generation", 0)) == 0
             and float(m.get("k1", float("nan"))) == float(k1)
             and float(m.get("b", float("nan"))) == float(b)
             and "max_score" in self._postings().columns

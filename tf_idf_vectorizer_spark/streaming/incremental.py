@@ -499,15 +499,29 @@ class IncrementalIndex:
             idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
         )
         salt_range = meta["salt_range"]
-        rows = live.select(
+        # idf rides to the packer: the re-pack recomputes the TRUE
+        # per-block max_score under current corpus stats, so the tight
+        # WAND bounds stay valid after compaction (generation returns
+        # to 0, which is exactly when _tight_bounds_ok trusts them —
+        # a 0.0 max_score here would zero every block bound and prune
+        # the whole index)
+        rows = live.join(
+            F.broadcast(idx.term_dict.select("term_id", "idf")), "term_id"
+        ).select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
             "tf",
             "doc_len",
+            F.col("idf").cast("double").alias("idf"),
+        )
+        avg_len = float(meta.get("total_len", 0)) / max(
+            int(meta.get("doc_num", 1)), 1
         )
         packed = pack_blocks_jvm(
-            rows, self.config.block_size, meta["term_buckets"], gen=0
+            rows, self.config.block_size, meta["term_buckets"], gen=0,
+            avg_len=avg_len, k1=float(meta.get("k1", self.config.k1)),
+            b=float(meta.get("b", self.config.b)),
         )
         # versioned commit covers postings too: the gen-0 re-pack and the
         # doc_dict gen reset MUST flip together (a crash between them
@@ -525,6 +539,9 @@ class IncrementalIndex:
             *[F.lit(0).alias("gen") if c == "gen" else F.col(c) for c in dd_cols]
         ).coalesce(4).write.mode("overwrite").parquet(f"{self.dir}/{dd_name}")
         meta["generation"] = 0
+        meta["k1"] = float(meta.get("k1", self.config.k1))
+        meta["b"] = float(meta.get("b", self.config.b))
+        meta["tight_bounds"] = True
         self._commit(meta, {"postings": p_name, "doc_dict": dd_name})
 
 
