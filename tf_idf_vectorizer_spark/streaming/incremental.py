@@ -301,11 +301,11 @@ class IncrementalIndex:
                 "doc_id",
                 "tf",
                 "doc_len",
-            )
+            ).repartition(4 * int(meta.get("n_salts", 8)), "salt")
             packed = pack_blocks_jvm(
                 rows, self.config.block_size, meta["term_buckets"], gen=gen
             )
-            packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
+            packed.sortWithinPartitions(
                 "term_id", "block_seq"
             ).write.partitionBy("salt").mode("append").parquet(postings_path)
             spark.catalog.refreshByPath(postings_path)
@@ -499,22 +499,18 @@ class IncrementalIndex:
             idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
         )
         salt_range = meta["salt_range"]
-        # idf rides to the packer: the re-pack recomputes the TRUE
-        # per-block max_score under current corpus stats, so the tight
-        # WAND bounds stay valid after compaction (generation returns
-        # to 0, which is exactly when _tight_bounds_ok trusts them —
-        # a 0.0 max_score here would zero every block bound and prune
-        # the whole index)
-        rows = live.join(
-            F.broadcast(idx.term_dict.select("term_id", "idf")), "term_id"
-        ).select(
+        rows = live.select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
             "tf",
             "doc_len",
-            F.col("idf").cast("double").alias("idf"),
-        )
+        ).repartition(4 * int(meta.get("n_salts", 8)), "salt")
+        # idf_df: the re-pack recomputes the TRUE per-block max_score
+        # under current corpus stats, so the tight WAND bounds stay
+        # valid after compaction (generation returns to 0, which is
+        # exactly when _tight_bounds_ok trusts them — a 0.0 max_score
+        # here would zero every block bound and prune the whole index)
         avg_len = float(meta.get("total_len", 0)) / max(
             int(meta.get("doc_num", 1)), 1
         )
@@ -522,6 +518,7 @@ class IncrementalIndex:
             rows, self.config.block_size, meta["term_buckets"], gen=0,
             avg_len=avg_len, k1=float(meta.get("k1", self.config.k1)),
             b=float(meta.get("b", self.config.b)),
+            idf_df=idx.term_dict.select("term_id", "idf"),
         )
         # versioned commit covers postings too: the gen-0 re-pack and the
         # doc_dict gen reset MUST flip together (a crash between them
