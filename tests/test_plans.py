@@ -66,6 +66,34 @@ def test_wand_metadata_scan_skips_payload_columns(packed):
     ), read_schemas
 
 
+def test_rescore_doc_ranges_reach_doc_dict_scan(packed):
+    """The WAND rescore's merged candidate doc-id ranges must reach the
+    doc_dict read — as parquet PushedFilters when doc_dict streams from
+    disk, or as an InMemoryTableScan predicate (cache-batch stats
+    pruning) when it is cached, and the decoded-postings side must pick
+    the same filter up so non-candidate rows die before the join."""
+    import numpy as np
+
+    qinfo = packed._query_info(["spark", "join"])
+    df = packed._score_flagged_arrays(
+        np.array([qinfo[0]["term_id"]], dtype=np.int64),
+        np.array([0], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+        np.array([True]),
+        qinfo, 1.2, 0.75,
+        doc_ranges=[(0, 100), (200, 300)],
+    )
+    plan = explain_str(df)
+    range_lines = [
+        ln for ln in plan.splitlines()
+        if "doc_id" in ln and ">= 200" in ln and "<= 300" in ln
+    ]
+    # one filter on the doc_dict branch + the derived one on the
+    # decoded-postings branch
+    assert len(range_lines) >= 2, plan[:3000]
+
+
 def test_exact_search_single_shuffle_agg(spark, sf_smoke):
     """BM25 exact plan: partial+final HashAggregate with ONE exchange on
     the doc key (plus the broadcast exchanges, which move no posting

@@ -1056,19 +1056,7 @@ class PackedIndex:
         #   exact candidate intervals — a surviving sparse block enters
         #               the rescore as its docs' singleton ranges, not
         #               its (enormous) [min_doc, max_doc] span.
-        sparse_ids: list[int] = []
-        if gen0 and "max_dl" in self._postings().columns:
-            sp_budget = 2 * self.DRIVER_THETA_MAX_DF
-            for r in sorted(qinfo, key=lambda r: (r["df"], r["term"])):
-                df_t = int(r["df"])
-                if df_t <= self.DRIVER_THETA_MAX_DF and df_t <= sp_budget:
-                    sparse_ids.append(r["term_id"])
-                    sp_budget -= df_t
-        # every term sparse -> the driver path already decodes it all in
-        # one job with exact scores; the WAND machinery adds nothing
-        # (forced mode still honors the caller, so only trim the list)
-        if len(sparse_ids) == len(tids) and len(tids) > 1:
-            sparse_ids = sparse_ids[:-1]
+        sparse_ids = self._sparse_query_terms(qinfo)
         # gen is part of the physical block identity: pack_blocks_jvm
         # restarts block_seq per generation, so after apply_batch the
         # same (term_id, salt, block_seq) exists once PER GEN — keys
@@ -1519,6 +1507,33 @@ class PackedIndex:
             .drop("is_target")
         )
 
+    def _sparse_query_terms(self, qinfo: list[dict]) -> list[int]:
+        """Query terms whose whole postings are worth pulling to the
+        driver: df driver-sized AND at least 10x smaller than the
+        query's biggest term.  The payload fetch pays off only when a
+        genuinely DENSE term's decode can be pruned with it — for a
+        query of similar-sized smallish terms the fetch costs as much
+        as the decode it would save (measured: a forced-WAND 190k-entry
+        mixed query regressed 1.9 -> 2.5 s when a 93k-df term was
+        classified sparse)."""
+        if int(self.meta.get("generation", 0)) != 0:
+            return []
+        if "max_dl" not in self._postings().columns:
+            return []
+        max_df = max(int(r["df"]) for r in qinfo)
+        out: list[int] = []
+        sp_budget = 2 * self.DRIVER_THETA_MAX_DF
+        for r in sorted(qinfo, key=lambda r: (r["df"], r["term"])):
+            df_t = int(r["df"])
+            if (
+                df_t <= self.DRIVER_THETA_MAX_DF
+                and df_t <= sp_budget
+                and df_t * 10 <= max_df
+            ):
+                out.append(r["term_id"])
+                sp_budget -= df_t
+        return out
+
     def _sparse_postings_np(
         self, sparse_ids: list[int], idf_map: dict[int, float], k1: float, b: float
     ) -> pd.DataFrame | None:
@@ -1603,17 +1618,7 @@ class PackedIndex:
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         tight = self._tight_bounds_ok(k1, b)
         nonneg = min(float(r["idf"]) for r in qinfo) > 1.0
-        gen0 = int(self.meta.get("generation", 0)) == 0
-        sparse_ids: list[int] = []
-        if gen0 and "max_dl" in self._postings().columns:
-            sp_budget = 2 * self.DRIVER_THETA_MAX_DF
-            for r in sorted(qinfo, key=lambda r: (r["df"], r["term"])):
-                df_t = int(r["df"])
-                if df_t <= self.DRIVER_THETA_MAX_DF and df_t <= sp_budget:
-                    sparse_ids.append(r["term_id"])
-                    sp_budget -= df_t
-        if len(sparse_ids) == len(tids) and len(tids) > 1:
-            sparse_ids = sparse_ids[:-1]
+        sparse_ids = self._sparse_query_terms(qinfo)
         sp_pdf = self._sparse_postings_np(sparse_ids, idf_map, k1, b)
         key_cols = ["term_id", "salt", "block_seq", "gen"]
         meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
