@@ -175,6 +175,14 @@ def _varint_hex(v):
     return F.concat(*parts)
 
 
+def one_shuffle_pack_ok(spark: SparkSession, n_salts: int) -> bool:
+    """True when the salt-partitioned single-shuffle pack can fill the
+    cluster (parallelism = n_salts): n_salts >= 2x defaultParallelism.
+    Below that, the (term_id, salt)-shuffled agg + blocks reshuffle is
+    faster (A/B at 32 cores / 8 salts: 3x)."""
+    return int(n_salts) >= 2 * int(spark.sparkContext.defaultParallelism)
+
+
 def pack_blocks_jvm(
     rows: DataFrame,
     block_size: int,
@@ -428,20 +436,35 @@ def build_index(
     total_len = dstats.agg(F.sum("doc_len")).first()[0] or 0
     _mark("doc_stats")
 
-    # salting auto-scales on THREE bounds so the single-shuffle pack
-    # stays safe and parallel at any scale:
-    #   - salt_target_rows caps a (term_id, salt) group (stop-word run);
-    #   - pack_salt_rows caps a whole salt's posting volume (one task
-    #     aggregates + encodes + writes one salt);
-    #   - defaultParallelism keeps the pack stage at least cluster-wide
-    #     (more salts only cost O(salts) files).
-    # n_salts = 8 at 10^7 docs but ~12.5M at 10^12 — no fixed-knob OOM.
-    n_salts = max(
+    # salting auto-scales so no (term_id, salt) group exceeds
+    # ~salt_target_rows posting entries (a stop-word's salt-local run
+    # is at most salt_range docs).  Salt count is a LAYOUT choice —
+    # more salts fragment mid-frequency terms' blocks (a df-500 term
+    # split over 64 salts becomes 64 eight-doc blocks: +50% index
+    # bytes, more WAND metadata), so it is NOT raised for parallelism.
+    base_salts = max(
         int(config.n_salts),
         -(-(int(max_id) + 1) // int(config.salt_target_rows)),
-        -(-int(total_len or 1) // int(config.pack_salt_rows)),
-        int(spark.sparkContext.defaultParallelism),
     )
+    # pack strategy: the salt-partitioned single-shuffle pack (agg +
+    # encode + write fused, half the shuffle traffic) has parallelism
+    # = n_salts, so it only runs when salts can fill the cluster
+    # (>= 2x defaultParallelism; A/B at 32 cores / 8 salts it left 3x
+    # on the table, at 1->4 cores / 8 salts it won by 13-28%).
+    # Otherwise the agg shuffles on (term_id, salt) — balanced across
+    # shuffle partitions — and the (small, compressed) blocks reshuffle
+    # to the salt layout for the write.  At 10^12 docs base_salts is
+    # ~500k and the single-shuffle path always wins; pack_salt_rows
+    # then also bounds one salt's total postings so a single task's
+    # aggregation stays executor-sized.
+    one_shuffle = one_shuffle_pack_ok(spark, base_salts)
+    if one_shuffle:
+        n_salts = max(
+            base_salts,
+            -(-int(total_len or 1) // int(config.pack_salt_rows)),
+        )
+    else:
+        n_salts = base_salts
     salt_range = max(1, (int(max_id) + n_salts) // n_salts)
 
     # ---- postings rows with salt + bucket -----------------------------
@@ -469,26 +492,26 @@ def build_index(
 
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     build_avg_len = float(total_len) / max(int(doc_num), 1)
-    # ---- the ONE posting shuffle ---------------------------------------
-    # rows are partitioned by salt BEFORE the pack aggregation:
+    # ---- the posting pack (strategy chosen above) ----------------------
+    # one_shuffle: rows partition by salt BEFORE the aggregation —
     # HashPartitioning(salt) satisfies the (term_id, salt) clustering,
     # so the groupBy runs exchange-free and the write needs no blocks
-    # reshuffle — agg + varint encode + parquet write fuse into one
-    # stage per salt (A/B vs the former agg-shuffle + blocks-shuffle:
-    # -13% at 1 core, -28% at 4, identical output; the pack phase is
-    # memory-traffic-bound, and this halves its shuffle traffic).
-    # Over-partition the hash bins (4x the salt count): hashing n salts
-    # into exactly n bins collides (balls-in-bins); each salt still
-    # lands in ONE partition, so one-file-per-salt is preserved, empty
-    # tasks are free.  Layout: one directory per salt, ONE term_id-
-    # sorted file inside (parquet row-group min/max pruning for query
-    # terms; listing stays O(salts)).
-    rows = rows.repartition(max(4 * n_salts, shuffle_parts), "salt")
+    # reshuffle (agg + varint encode + write fuse into one stage per
+    # salt; half the shuffle traffic).  Otherwise the agg shuffles on
+    # (term_id, salt) for balanced parallelism and the compressed
+    # blocks reshuffle to the salt layout.  Either way: over-partition
+    # the hash bins 4x (balls-in-bins), each salt lands in ONE
+    # partition — one directory per salt, ONE term_id-sorted file
+    # inside (parquet row-group min/max pruning; listing O(salts)).
+    if one_shuffle:
+        rows = rows.repartition(max(4 * n_salts, shuffle_parts), "salt")
     packed = pack_blocks_jvm(
         rows, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
         idf_df=term_dict.select("term_id", "idf"),
     )
+    if not one_shuffle:
+        packed = packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
     writer = (
         packed.sortWithinPartitions("term_id", "block_seq")
         .write.partitionBy("salt")

@@ -34,7 +34,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
-from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
+from tf_idf_vectorizer_spark.operators.index_build import (
+    one_shuffle_pack_ok,
+    pack_blocks_jvm,
+)
 from tf_idf_vectorizer_spark.query.packed import PackedIndex
 
 
@@ -118,15 +121,18 @@ def merge_indexes(
         int(config.n_salts), -(-(max_id + 1) // int(config.salt_target_rows))
     )
     salt_range = max(1, (max_id + n_salts) // n_salts)
-    # single posting shuffle: salt-partition before the pack agg (see
-    # index_build.py — HashPartitioning(salt) satisfies the clustering)
+    # pack strategy mirrors build_index: salt-partition before the agg
+    # only when salts can fill the cluster (one_shuffle_pack_ok)
     salted = rows.select(
         "term_id",
         (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
         "doc_id",
         "tf",
         "doc_len",
-    ).repartition(4 * n_salts, "salt")
+    )
+    one_shuffle = one_shuffle_pack_ok(spark, n_salts)
+    if one_shuffle:
+        salted = salted.repartition(4 * n_salts, "salt")
     build_avg_len = float(total_len) / max(doc_num, 1)
     # idf_df: per-block max_score is the TRUE max impact under the
     # MERGED corpus stats (tight WAND bounds survive the merge; without
@@ -137,6 +143,8 @@ def merge_indexes(
         avg_len=build_avg_len, k1=config.k1, b=config.b,
         idf_df=term_dict.select("term_id", "idf"),
     )
+    if not one_shuffle:
+        packed = packed.repartition(4 * n_salts, "salt")
     packed.sortWithinPartitions(
         "term_id", "block_seq"
     ).write.partitionBy("salt").mode("overwrite").parquet(f"{out_dir}/postings")

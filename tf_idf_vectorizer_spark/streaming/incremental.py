@@ -66,7 +66,10 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
-from tf_idf_vectorizer_spark.operators.index_build import pack_blocks_jvm
+from tf_idf_vectorizer_spark.operators.index_build import (
+    one_shuffle_pack_ok,
+    pack_blocks_jvm,
+)
 from tf_idf_vectorizer_spark.query.packed import (
     PackedIndex,
     _decode_blocks_iter,
@@ -295,16 +298,22 @@ class IncrementalIndex:
                 F.col("tf_eff").alias("tf"),
             )
             salt_range = meta["salt_range"]
+            n_salts = int(meta.get("n_salts", 8))
             rows = tf_ids.join(new_doc_stats, "doc_id").select(
                 "term_id",
                 (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
                 "doc_id",
                 "tf",
                 "doc_len",
-            ).repartition(4 * int(meta.get("n_salts", 8)), "salt")
+            )
+            one_shuffle = one_shuffle_pack_ok(spark, n_salts)
+            if one_shuffle:
+                rows = rows.repartition(4 * n_salts, "salt")
             packed = pack_blocks_jvm(
                 rows, self.config.block_size, meta["term_buckets"], gen=gen
             )
+            if not one_shuffle:
+                packed = packed.repartition(4 * n_salts, "salt")
             packed.sortWithinPartitions(
                 "term_id", "block_seq"
             ).write.partitionBy("salt").mode("append").parquet(postings_path)
@@ -499,13 +508,17 @@ class IncrementalIndex:
             idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
         )
         salt_range = meta["salt_range"]
+        n_salts = int(meta.get("n_salts", 8))
+        one_shuffle = one_shuffle_pack_ok(spark, n_salts)
         rows = live.select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
             "tf",
             "doc_len",
-        ).repartition(4 * int(meta.get("n_salts", 8)), "salt")
+        )
+        if one_shuffle:
+            rows = rows.repartition(4 * n_salts, "salt")
         # idf_df: the re-pack recomputes the TRUE per-block max_score
         # under current corpus stats, so the tight WAND bounds stay
         # valid after compaction (generation returns to 0, which is
@@ -526,7 +539,9 @@ class IncrementalIndex:
         ver = int(meta.get("table_version", 0)) + 1
         meta["table_version"] = ver
         p_name, dd_name = f"postings_v{ver}", f"doc_dict_v{ver}"
-        packed.repartition(4 * int(meta.get("n_salts", 8)), "salt").sortWithinPartitions(
+        if not one_shuffle:
+            packed = packed.repartition(4 * n_salts, "salt")
+        packed.sortWithinPartitions(
             "term_id", "block_seq"
         ).write.partitionBy("salt").mode("overwrite").parquet(
             f"{self.dir}/{p_name}"
