@@ -361,6 +361,37 @@ def build_index(
     doc_num, max_id = docs.agg(F.count("*"), F.max(key_col)).first()
     max_id = int(max_id) if max_id is not None else 0
     _mark("input_scalars")
+    # build-scoped shuffle width: the session's shuffle.partitions is a
+    # QUERY-sized knob; the build's stats/pack aggregations over ~100
+    # posting rows per doc thrash on fat partitions at executor-sized
+    # memory (measured 3-5x on 4x4-core executors when the default left
+    # ~500k rows per task).  Target ~150k rows/partition, capped at
+    # 64x the cluster, floored at the session value; restored after.
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev = spark.conf.get(_sp_key)
+    build_parts = max(
+        int(_sp_prev),
+        min(
+            int(doc_num) * 100 // 150_000,
+            64 * int(spark.sparkContext.defaultParallelism),
+        ),
+    )
+    spark.conf.set(_sp_key, str(build_parts))
+    try:
+        return _build_index_body(
+            spark, docs, out_dir, key_col, text_col, url_col, config,
+            precision, resume, check_collisions, norms, cache_tf,
+            tokenizer, t0, phases, _mark, doc_num, max_id,
+        )
+    finally:
+        spark.conf.set(_sp_key, _sp_prev)
+
+
+def _build_index_body(
+    spark, docs, out_dir, key_col, text_col, url_col, config, precision,
+    resume, check_collisions, norms, cache_tf, tokenizer, t0, phases,
+    _mark, doc_num, max_id,
+):
     # doc_len rides along with every TF row (no doc-keyed join later).
     # tf_eff is the quantize->denorm roundtrip (identity for f32): the
     # index stores the EFFECTIVE tf, so the packed scorers match the
@@ -505,6 +536,20 @@ def build_index(
     # inside (parquet row-group min/max pruning; listing O(salts)).
     if one_shuffle:
         rows = rows.repartition(max(4 * n_salts, shuffle_parts), "salt")
+    else:
+        # explicit (term_id, salt) partitioning for the agg, sized so a
+        # partition holds ~150k posting rows: the collect_list object
+        # aggregation thrashes on fat partitions at executor-sized
+        # memory (measured 3x on 4x4-core executors when the session's
+        # shuffle.partitions left ~500k rows per task), and partitioning
+        # on the full group key here elides the agg's own exchange.
+        par = int(spark.sparkContext.defaultParallelism)
+        agg_parts = max(
+            4 * n_salts,
+            shuffle_parts,
+            min(-(-int(total_len or 1) // 150_000), 64 * par),
+        )
+        rows = rows.repartition(agg_parts, "term_id", "salt")
     packed = pack_blocks_jvm(
         rows, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
