@@ -1635,8 +1635,6 @@ class PackedIndex:
             r["term_id"]: r["ub"]
             for r in blocks_meta.groupBy("term_id").agg(F.max("ub").alias("ub")).collect()
         }
-        sum_ub = sum(term_ubs.values())
-
         theta = -math.inf
         # θ floors from sparse postings (job-free beyond the bounded
         # fetch): each sparse posting scored with its block's max_dl is
