@@ -104,6 +104,40 @@ def test_site_query_prunes_to_segment(topical):
     assert seen["part_blocks"] < 0.5 * total_blocks
 
 
+def test_serving_term_cache_snapshot_consistent(spark, topical):
+    """The serving tier's decoded-postings LRU must be invisible:
+    cached repeats equal the first (scanned) answer, and a FRESH
+    instance (no cache) agrees.  After an incremental commit, the
+    reopened snapshot serves the updated corpus — the old instance's
+    cache dies with it."""
+    idx, _ = topical
+    serving = PackedIndex(spark, idx.dir, CFG)
+    q = ["t1", "t2"]
+    first = serving.bm25_topk_rows(q, k=10)
+    cached = serving.bm25_topk_rows(q, k=10)
+    assert first == cached
+    assert len(first) == 10
+    assert PackedIndex(spark, idx.dir, CFG).bm25_topk_rows(q, k=10) == first
+
+    import shutil
+
+    from tf_idf_vectorizer_spark.streaming.incremental import IncrementalIndex
+
+    out = idx.dir + "_cacheprobe"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(idx.dir, out)
+    s2 = PackedIndex(spark, out, CFG)
+    before = s2.bm25_topk_rows(q, k=10)
+    IncrementalIndex(spark, out, CFG).apply_batch(
+        spark.createDataFrame(
+            [(before[0][0], "t9 t9 t9 replaced")],
+            "doc_id long, text string",
+        )
+    )
+    after = PackedIndex(spark, out, CFG).bm25_topk_rows(q, k=10)
+    assert after != before  # the former top doc lost its t1/t2 mass
+
+
 def test_distributed_wand_sparse_paths(spark, topical):
     """The fully distributed WAND (head-term territory) uses the same
     sparse machinery: θ floors, postings-level survival credit, and

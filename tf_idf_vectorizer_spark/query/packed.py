@@ -554,10 +554,23 @@ class PackedIndex:
                 )
         return self._dstats
 
+    # decoded-postings LRU budget: fraction of the driver entry budget
+    # reserved for the serving tier's per-term cache (a PackedIndex
+    # instance is an immutable snapshot — its decoded live postings
+    # never change, so caching is unconditionally safe per instance)
+    TERM_CACHE_FRACTION = 4
+
     def _decode_live_driver(self, tids: list[int]) -> dict[int, tuple]:
         """One pruned scan+collect of the terms' blocks; numpy decode +
         liveness filter against the pinned doc stats.  Returns
         {term_id: (doc_ids, tfs, doc_lens)} of LIVE rows.
+
+        Decoded terms land in a bounded per-instance LRU: a PackedIndex
+        is a snapshot (incremental commits are read by REOPENING), so a
+        term's decoded live postings are immutable for the instance's
+        lifetime, and a serving tier's repeated/overlapping queries
+        skip the scan job entirely — the reference's in-memory regime
+        (OptimizedDocIter over resident postings, scoring.rs).
 
         The decode is a SINGLE vectorized pass over all blocks: varint
         streams are self-delimiting, so the concatenated payloads decode
@@ -566,6 +579,38 @@ class PackedIndex:
         The fetch is an Arrow toPandas (py4j-pickled collect of binary
         payloads is the hidden 10x cost at multi-million-entry volumes).
         """
+        cache = getattr(self, "_term_postings_cache", None)
+        if cache is None:
+            cache = self._term_postings_cache = {}
+        out: dict[int, tuple] = {}
+        missing = []
+        for t in tids:
+            hit = cache.get(t)
+            if hit is not None:
+                cache[t] = cache.pop(t)  # LRU touch
+                out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        fetched = self._decode_live_driver_fetch(missing)
+        budget = self._driver_entry_budget() // self.TERM_CACHE_FRACTION
+        for t in missing:
+            arrs = fetched.get(t, (np.empty(0, np.int64),
+                                   np.empty(0, np.float64),
+                                   np.empty(0, np.float64)))
+            out[t] = arrs
+            cache[t] = arrs
+        size = sum(v[0].size for v in cache.values())
+        while size > budget and len(cache) > len(tids):
+            _k, v = next(iter(cache.items()))
+            if _k in tids:
+                break
+            cache.pop(_k)
+            size -= v[0].size
+        return out
+
+    def _decode_live_driver_fetch(self, tids: list[int]) -> dict[int, tuple]:
         sids, dls, gens = self._doc_stats_np()
         pdf = self._topandas_arrow(
             self._blocks_for(tids).select("term_id", "n", "doc_deltas", "tfs", "gen")
