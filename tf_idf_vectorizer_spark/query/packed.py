@@ -276,7 +276,9 @@ class PackedIndex:
     def _postings(self) -> DataFrame:
         return self._postings_df
 
-    def warm(self, full: bool = True) -> "PackedIndex":
+    def warm(
+        self, full: bool = True, terms: list[str] | None = None
+    ) -> "PackedIndex":
         """Serving-tier warm-up (opt-in at open via warm=True): pin the
         term dictionary and doc stats (when driver-sized), force the
         postings file listing, and drive each query dispatch path once
@@ -284,7 +286,12 @@ class PackedIndex:
         Janino codegen of the scan/decode/score plans, the Arrow collect
         path, and the Python decode workers are all hot before the first
         real query.  Cuts the first query's ~2-3 s cold cost; returns
-        self for chaining."""
+        self for chaining.
+
+        ``terms``: optionally pre-decode a workload's expected terms
+        into the serving LRU (one batched scan; budget-bounded), so
+        even their FIRST queries answer from resident postings —
+        sub-millisecond on repeated-vocabulary workloads."""
         if self._can_pin_dict():
             self._query_info([])  # builds the pinned term map
         self._doc_stats_np()
@@ -301,6 +308,17 @@ class PackedIndex:
                 self._wand_topk(
                     qinfo, 1, self.config.k1, self.config.b
                 ).limit(1).collect()
+        if terms and self._doc_stats_np() is not None:
+            budget = self._driver_entry_budget() // self.TERM_CACHE_FRACTION
+            qinfo = self._query_info(terms)
+            picked, vol = [], 0
+            for r in sorted(qinfo, key=lambda r: int(r["df"])):
+                if vol + int(r["df"]) > budget:
+                    break
+                picked.append(r["term_id"])
+                vol += int(r["df"])
+            if picked:
+                self._decode_live_driver(picked)
         return self
 
     # vocab small enough to pin on the driver -> zero-job term lookup;
