@@ -972,6 +972,185 @@ class PackedIndex:
             out_rows, "query_id long, doc_id long, score double, doc_len long"
         )
 
+    # ---- in-memory serving: full query surface -----------------------
+    def _doc_norms_np(self):
+        """Pinned norms aligned with the pinned doc-stat order, or None
+        (corpus over the driver bound or index built without norms)."""
+        if not self.meta.get("norms", False):
+            return None
+        if not hasattr(self, "_dnorms"):
+            if self._doc_stats_np() is None:
+                self._dnorms = None
+            else:
+                pdf = self._topandas_arrow(
+                    self.doc_dict.select("doc_id", "norm")
+                )
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                order = np.argsort(ids, kind="stable")
+                self._dnorms = pdf["norm"].to_numpy(np.float64)[order]
+        return self._dnorms
+
+    def _eval_ast_np(self, q) -> np.ndarray:
+        """query.rs:110-205 as numpy set ops over cached live postings
+        (sorted unique doc-id arrays); the universe is the pinned doc
+        dictionary."""
+        sids, _dls, _gens = self._doc_stats_np()
+        if q.op == "none":
+            return np.empty(0, np.int64)
+        if q.op == "all":
+            return sids
+        if q.op == "term":
+            info = self._query_info([q.term_])
+            if not info:
+                return np.empty(0, np.int64)
+            ids, _tf, _dl = self._decode_live_driver(
+                [info[0]["term_id"]]
+            )[info[0]["term_id"]]
+            return ids  # sorted, unique per (term, doc)
+        if q.op == "not":
+            return np.setdiff1d(
+                sids, self._eval_ast_np(q.children[0]), assume_unique=True
+            )
+        kids = [self._eval_ast_np(c) for c in q.children]
+        out = kids[0]
+        for kk in kids[1:]:
+            if q.op == "and":
+                out = np.intersect1d(out, kk, assume_unique=True)
+            else:
+                out = np.union1d(out, kk)
+        if q.op in ("and", "or"):
+            return out
+        raise ValueError(q.op)
+
+    def _serving_ready(self, volume: int) -> bool:
+        return (
+            volume <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
+            and self._doc_stats_np() is not None
+        )
+
+    def similarity_rows(
+        self,
+        algo: str,
+        terms,
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> list[tuple]:
+        """Serving API for ALL FOUR reference scorers (scoring.rs:17-33)
+        over cached postings — plain (doc_id, score, doc_len) rows, no
+        Spark job once the terms are resident.  Falls back to the
+        distributed similarity() outside the driver bounds.  Semantics
+        identical to similarity() (tested): OR-of-terms candidates,
+        NaN drop, (score desc, doc_id asc) top-k."""
+        from collections import Counter
+
+        if not isinstance(terms, Counter):
+            terms = Counter(terms)
+        if algo == "bm25":
+            return self.bm25_topk_rows(list(terms.keys()), k=k, k1=k1, b=b)
+        qinfo = self._query_info(list(terms.keys()))
+        if not qinfo or self.doc_num == 0:
+            return []
+        volume = sum(r["df"] for r in qinfo)
+        if not self._serving_ready(volume) or (
+            algo == "cosine" and self._doc_norms_np() is None
+        ):
+            return [
+                (r["doc_id"], r["score"], r["doc_len"])
+                for r in self.similarity(algo, terms, k=k, k1=k1, b=b).collect()
+            ]
+        live = self._decode_live_driver([r["term_id"] for r in qinfo])
+        if algo == "contains":
+            ids = np.unique(
+                np.concatenate([live[r["term_id"]][0] for r in qinfo])
+            )
+            sids, dls, _g = self._doc_stats_np()
+            pos = np.searchsorted(sids, ids)
+            return self._topk_rows(ids, np.ones(ids.size), dls[pos], k)
+        ids_all, sc_all, dl_all = [], [], []
+        for r in qinfo:
+            dids, tf, dl = live[r["term_id"]]
+            qtf = float(self.config.roundtrip_tf([terms[r["term"]]])[0])
+            idf = float(r["idf"])
+            ids_all.append(dids)
+            sc_all.append(qtf * tf * idf * idf)
+            dl_all.append(dl)
+        ids = np.concatenate(ids_all)
+        if ids.size == 0:
+            return []
+        uids, inv = np.unique(ids, return_inverse=True)
+        raw = np.bincount(inv, weights=np.concatenate(sc_all))
+        udl = np.zeros(uids.size)
+        udl[inv] = np.concatenate(dl_all)
+        if algo == "dot":
+            return self._topk_rows(uids, raw, udl, k)
+        if algo != "cosine":
+            raise ValueError(f"unknown algorithm {algo!r}")
+        norms = self._doc_norms_np()
+        sids, _dls, _g = self._doc_stats_np()
+        norm_d = norms[np.searchsorted(sids, uids)]
+        norm_q = math.sqrt(
+            sum(
+                (
+                    float(self.config.roundtrip_tf([terms[r["term"]]])[0])
+                    * float(r["idf"])
+                ) ** 2
+                for r in qinfo
+            )
+        )
+        eps = 2.220446049250313e-16
+        score = raw / (norm_q * norm_d + eps)
+        ok = ~np.isnan(score)
+        return self._topk_rows(uids[ok], score[ok], udl[ok], k)
+
+    def search_rows(
+        self,
+        query: "Query",
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> list[tuple]:
+        """Serving API for boolean search (reference search(),
+        scoring.rs:191-206): candidates from the AST via numpy set ops
+        over cached postings, BM25-scored with the query's leaf terms
+        (candidates may score 0.0, e.g. under Not) — no Spark job once
+        resident.  Falls back to bm25_search outside driver bounds."""
+        k1 = self.config.k1 if k1 is None else k1
+        b = self.config.b if b is None else b
+        terms = list(query.all_terms().keys())
+        qinfo = self._query_info(terms)
+        volume = sum(r["df"] for r in qinfo)
+        if self.doc_num == 0:
+            return []
+        if not self._serving_ready(volume):
+            return [
+                (r["doc_id"], r["score"], r["doc_len"])
+                for r in self.bm25_search(query, k=k, k1=k1, b=b).collect()
+            ]
+        cand = self._eval_ast_np(query)
+        if cand.size == 0:
+            return []
+        sids, dls, _g = self._doc_stats_np()
+        scores = np.zeros(cand.size)
+        if qinfo:
+            live = self._decode_live_driver([r["term_id"] for r in qinfo])
+            idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
+            ids_all, sc_all = [], []
+            for t, (dids, tf, dl) in live.items():
+                denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
+                sc_all.append(math.log(idf_map[t]) * (k1 + 1.0) * tf / denom)
+                ids_all.append(dids)
+            ids = np.concatenate(ids_all)
+            if ids.size:
+                uids, inv = np.unique(ids, return_inverse=True)
+                sums = np.bincount(inv, weights=np.concatenate(sc_all))
+                pos = np.searchsorted(uids, cand)
+                pc = np.minimum(pos, uids.size - 1)
+                hit = (pos < uids.size) & (uids[pc] == cand)
+                scores[hit] = sums[pc[hit]]
+        cdl = dls[np.searchsorted(sids, cand)]
+        return self._topk_rows(cand, scores, cdl, k)
+
     # ------------------------------------------------------------------
     def bm25_search(
         self,
