@@ -715,10 +715,8 @@ class PackedIndex:
         if not qinfo or self.doc_num == 0:
             return []
         volume = sum(r["df"] for r in qinfo)
-        if (
-            volume < self.WAND_THRESHOLD
-            and volume <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
-            and self._doc_stats_np() is not None
+        if volume < self.WAND_THRESHOLD and self._driver_dispatch_ok(
+            qinfo, volume
         ):
             return self._bm25_driver_rows(qinfo, k, k1, b)
         mode = "wand" if volume >= self.WAND_THRESHOLD else "exact"
@@ -726,6 +724,23 @@ class PackedIndex:
             (r["doc_id"], r["score"], r["doc_len"])
             for r in self.bm25_topk(terms, k=k, k1=k1, b=b, mode=mode).collect()
         ]
+
+    def _driver_dispatch_ok(self, qinfo: list[dict], volume: int) -> bool:
+        """Single-node path eligibility.  Baseline: posting volume under
+        the measured numpy-vs-cluster crossover AND the doc stats
+        pinned.  RESIDENT queries (every term already in the decoded
+        LRU) skip the Arrow fetch — the driver's only non-CPU cost — so
+        their crossover sits 4x higher (numpy scores ~8M entries in
+        ~100 ms; the distributed exact pass costs ~2 s at that volume)."""
+        if self._doc_stats_np() is None:
+            return False
+        budget = self._driver_entry_budget()
+        if volume <= min(self.DRIVER_VOLUME_MAX, budget):
+            return True
+        cache = getattr(self, "_term_postings_cache", {})
+        return volume <= min(4 * self.DRIVER_VOLUME_MAX, budget) and all(
+            r["term_id"] in cache for r in qinfo
+        )
 
     def bm25_topk(
         self,
@@ -754,10 +769,7 @@ class PackedIndex:
             volume = sum(r["df"] for r in qinfo)
             if volume >= self.WAND_THRESHOLD:
                 mode = "wand"
-            elif (
-                volume <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
-                and self._doc_stats_np() is not None
-            ):
+            elif self._driver_dispatch_ok(qinfo, volume):
                 mode = "driver"
             else:
                 mode = "exact"
