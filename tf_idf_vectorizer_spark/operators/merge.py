@@ -55,6 +55,17 @@ def merge_indexes(
     b = PackedIndex(spark, dir_b, config)
     if a.meta.get("precision") != b.meta.get("precision"):
         raise ValueError("cannot merge indexes built at different precisions")
+    # the tokenizer travels with the index (build_index records it so
+    # incremental batches tokenize like the build); merging two indexes
+    # tokenized differently would mix incompatible vocabularies (CJK
+    # bigrams vs whitespace runs) with no error at query time
+    tok_a = a.meta.get("tokenizer", "ws")
+    tok_b = b.meta.get("tokenizer", "ws")
+    if tok_a != tok_b:
+        raise ValueError(
+            f"cannot merge indexes built with different tokenizers "
+            f"({tok_a!r} vs {tok_b!r})"
+        )
     precision = a.meta.get("precision", "f32")
     norms = bool(a.meta.get("norms", False)) and bool(b.meta.get("norms", False))
     os.makedirs(out_dir, exist_ok=True)
@@ -190,6 +201,7 @@ def merge_indexes(
         "b": float(config.b),
         "tight_bounds": True,
         "dtype": config.dtype,
+        "tokenizer": tok_a,
         "built_in_sec": round(time.time() - t0, 3),
         "merged_from": [dir_a, dir_b],
     }

@@ -102,6 +102,27 @@ def _overlap_mask(m_lo: np.ndarray, m_hi: np.ndarray, lo: np.ndarray, hi: np.nda
     return (i >= 0) & (m_hi[np.maximum(i, 0)] >= lo)
 
 
+def _overlap_credit(
+    s2: np.ndarray, e2: np.ndarray, u2: np.ndarray,
+    qlo: np.ndarray, qhi: np.ndarray,
+) -> np.ndarray:
+    """Max ``u2`` among blocks ``[s2_i, e2_i]`` (sorted by start,
+    POSSIBLY OVERLAPPING) intersecting each query range ``[qlo_j,
+    qhi_j]`` — the per-term WAND credit.  One term's blocks are
+    doc-range-disjoint only at generation 0; after ``apply_batch`` the
+    same term has gen-0 and gen-N blocks with overlapping ranges, so the
+    end array is NOT monotone under the start sort and a raw
+    ``searchsorted(e2, ...)`` can miss a truly-overlapping high-ub block
+    (credit 0 -> unsound prune).  A running max of ends is sorted by
+    construction and selects a SUPERSET of the overlapping blocks —
+    credit can only grow, so the prune stays sound; at gen 0 ends are
+    already monotone and this is the identity."""
+    e2m = np.maximum.accumulate(e2)
+    lo_idx = np.searchsorted(e2m, qlo, side="left")
+    hi_idx = np.searchsorted(s2, qhi, side="right")
+    return _range_max(u2, lo_idx, hi_idx)
+
+
 def _decode_batch(pdf: pd.DataFrame):
     """Vectorized multi-block decode of one Arrow batch: varint streams
     are self-delimiting, so the concatenated payloads decode in ONE
@@ -620,12 +641,19 @@ class PackedIndex:
             out[t] = arrs
             cache[t] = arrs
         size = sum(v[0].size for v in cache.values())
-        while size > budget and len(cache) > len(tids):
-            _k, v = next(iter(cache.items()))
-            if _k in tids:
-                break
-            cache.pop(_k)
-            size -= v[0].size
+        if size > budget:
+            # evict oldest-first but SKIP the current query's terms (they
+            # were just touched; evicting them would thrash the very
+            # entries this call returns) — iterate a snapshot so pops
+            # don't invalidate the iterator, and never break early just
+            # because an old entry belongs to the query
+            protected = set(tids)
+            for _k in list(cache.keys()):
+                if size <= budget:
+                    break
+                if _k in protected:
+                    continue
+                size -= cache.pop(_k)[0].size
         return out
 
     def _decode_live_driver_fetch(self, tids: list[int]) -> dict[int, tuple]:
@@ -714,16 +742,27 @@ class PackedIndex:
         qinfo = self._query_info(terms)
         if not qinfo or self.doc_num == 0:
             return []
-        volume = sum(r["df"] for r in qinfo)
-        if volume < self.WAND_THRESHOLD and self._driver_dispatch_ok(
-            qinfo, volume
-        ):
+        mode = self._dispatch(qinfo)
+        if mode == "driver":
             return self._bm25_driver_rows(qinfo, k, k1, b)
-        mode = "wand" if volume >= self.WAND_THRESHOLD else "exact"
         return [
             (r["doc_id"], r["score"], r["doc_len"])
             for r in self.bm25_topk(terms, k=k, k1=k1, b=b, mode=mode).collect()
         ]
+
+    def _dispatch(self, qinfo: list[dict]) -> str:
+        """SINGLE source of truth for mode='auto' BM25 dispatch, shared
+        by the DataFrame (:meth:`bm25_topk`), rows
+        (:meth:`bm25_topk_rows`) and batch heavy-peel
+        (:meth:`bm25_topk_batch`) paths — volume is known from the
+        dictionary lookup, so dispatch costs no job.  Returns
+        ``'wand' | 'driver' | 'exact'``."""
+        volume = sum(r["df"] for r in qinfo)
+        if volume >= self.WAND_THRESHOLD:
+            return "wand"
+        if self._driver_dispatch_ok(qinfo, volume):
+            return "driver"
+        return "exact"
 
     def _driver_dispatch_ok(self, qinfo: list[dict], volume: int) -> bool:
         """Single-node path eligibility.  Baseline: posting volume under
@@ -766,13 +805,7 @@ class PackedIndex:
             )
         tids = [r["term_id"] for r in qinfo]
         if mode == "auto":
-            volume = sum(r["df"] for r in qinfo)
-            if volume >= self.WAND_THRESHOLD:
-                mode = "wand"
-            elif self._driver_dispatch_ok(qinfo, volume):
-                mode = "driver"
-            else:
-                mode = "exact"
+            mode = self._dispatch(qinfo)
         if mode == "driver":
             return self._bm25_driver(qinfo, k, k1, b)
         if mode == "exact":
@@ -887,8 +920,8 @@ class PackedIndex:
             heavy = {
                 qid: ts
                 for qid, ts in queries.items()
-                if sum(qinfo[t]["df"] for t in set(ts) if t in qinfo)
-                >= self.WAND_THRESHOLD
+                if self._dispatch([qinfo[t] for t in set(ts) if t in qinfo])
+                == "wand"
             }
             if heavy:
                 light = {q: ts for q, ts in queries.items() if q not in heavy}
@@ -1507,10 +1540,11 @@ class PackedIndex:
                     continue
                 ii = np.flatnonzero(bterm == t2)
                 srt = ii[np.argsort(blo[ii], kind="stable")]
-                s2, e2, u2 = blo[srt], bhi[srt], bub[srt]
-                lo_idx = np.searchsorted(e2, blo[mask], side="left")
-                hi_idx = np.searchsorted(s2, bhi[mask], side="right")
-                others[mask] += _range_max(u2, lo_idx, hi_idx)
+                # _overlap_credit stays sound for the overlapping block
+                # ranges a generation > 0 index has (running-max ends)
+                others[mask] += _overlap_credit(
+                    blo[srt], bhi[srt], bub[srt], blo[mask], bhi[mask]
+                )
             # 1e-9 slack absorbs float-order differences between θ's and
             # the bounds' arithmetic — only ever makes pruning LESS
             # aggressive, never unsound

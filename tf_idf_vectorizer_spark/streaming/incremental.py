@@ -59,6 +59,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +80,23 @@ from tf_idf_vectorizer_spark.query.packed import (
 _DECODED = "term_id long, doc_id long, tf long, gen int"
 
 _TABLE_DIR_RE = re.compile(r"^(term_dict|doc_dict|postings)(_v\d+|_old|_new)?$")
+
+
+def _orphan_local_path(uri: str) -> str:
+    """Resolve an ``input_file_name()`` URI to a local path for the
+    replay guard's file deletion.  The whole swap/replay protocol
+    (``os.rename``/``os.remove``) is local-FS-only; on ``hdfs://`` /
+    ``s3a://`` the guard would silently remove NOTHING and a
+    crash-after-append replay would double-count the gen-N rows — the
+    exact bug it exists to prevent.  Fail loudly instead."""
+    if not (uri.startswith("file:") or uri.startswith("/")):
+        raise NotImplementedError(
+            "incremental replay guard only supports local filesystems; "
+            f"found orphan posting file at {uri!r}. Use a local index "
+            "directory (or rebuild) for incremental batches."
+        )
+    local = uri[7:] if uri.startswith("file://") else uri
+    return local.split("file:", 1)[-1] if local.startswith("file:") else local
 
 
 class IncrementalIndex:
@@ -103,13 +121,26 @@ class IncrementalIndex:
 
         return table_path(self.dir, meta, name)
 
+    #: seconds an orphaned (superseded) table directory survives after
+    #: the commit that unreferenced it.  A long-lived reader process that
+    #: resolved table paths through the PREVIOUS meta keeps scanning those
+    #: directories until it reopens; deleting them immediately would fail
+    #: its in-flight queries.  The grace period bounds that exposure: a
+    #: serving tier must reopen (or at least re-resolve meta) at least
+    #: every GC_GRACE_SEC while commits are happening.  0 restores
+    #: immediate deletion (single-process usage / tests).
+    GC_GRACE_SEC: float = 300.0
+
     def _commit(self, meta: dict, new_tables: dict[str, str]) -> None:
         """THE commit point: atomically replace meta.json so its tables
         map names the freshly written directories, then garbage-collect
-        every table directory the new meta no longer references (orphans
-        of this or any earlier crashed attempt).  A reader holding the
-        previous meta may race the GC — the single-writer / reopen-on-
-        failure contract, same exposure as any destructive table swap."""
+        table directories the new meta no longer references (orphans of
+        this or any earlier crashed attempt).  Orphans are not deleted
+        immediately: they are timestamped in ``_gc.json`` and reclaimed
+        only once older than :attr:`GC_GRACE_SEC`, so a concurrent reader
+        holding the previous meta keeps its tables for at least the grace
+        period (it must reopen within it — the documented multi-process
+        contract)."""
         tables = dict(meta.get("tables", {}))
         tables.update(new_tables)
         meta["tables"] = tables
@@ -119,9 +150,24 @@ class IncrementalIndex:
         keep = {
             tables.get(n, n) for n in ("term_dict", "doc_dict", "postings")
         }
+        gc_path = f"{self.dir}/_gc.json"
+        try:
+            with open(gc_path) as fh:
+                pending: dict[str, float] = json.load(fh)
+        except (OSError, ValueError):
+            pending = {}
+        now = time.time()
         for entry in os.listdir(self.dir):
             if _TABLE_DIR_RE.match(entry) and entry not in keep:
-                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+                pending.setdefault(entry, now)
+        for entry in list(pending):
+            p = os.path.join(self.dir, entry)
+            if entry in keep or not os.path.exists(p):
+                del pending[entry]
+            elif now - pending[entry] >= self.GC_GRACE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+                del pending[entry]
+        write_json_atomic(pending, gc_path)
 
     def _clean_orphan_postings(self, postings_path: str, gen: int) -> None:
         """Idempotent-append guard: delete posting FILES carrying any row
@@ -147,8 +193,7 @@ class IncrementalIndex:
         ]
         removed = False
         for uri in files:
-            local = uri[7:] if uri.startswith("file://") else uri
-            local = local.split("file:", 1)[-1] if local.startswith("file:") else local
+            local = _orphan_local_path(uri)
             if os.path.exists(local):
                 os.remove(local)
                 removed = True
