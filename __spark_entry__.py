@@ -338,20 +338,6 @@ def q_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TFops.top_terms_global(_searcher(spark, sf_dir).tf, k=50)
 
 
-def q_delta_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_documents(spark, sf_dir)
-    a = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "en")))
-    b = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "zh")))
-    return corpus_ops.delta_corpus(a, b)
-
-
-def q_merge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_documents(spark, sf_dir)
-    a = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "en")))
-    b = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "zh")))
-    return corpus_ops.merge_corpus(a, b)
-
-
 # ---------------------------------------------------------------------------
 # packed-index path (posting blocks + WAND) under the gate
 # ---------------------------------------------------------------------------
@@ -777,6 +763,55 @@ def q_sub_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub_terms(tf, removals)
 
 
+def q_termfreq_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND gate: six §2.2/§2.6 scalar checks in ONE driver slot so
+    the whole registry fits the 50-gate attestation window.  Each part
+    keeps its own oracle semantics (the SQL is the UNION ALL of the six
+    original oracles) and rows carry an ``op`` tag, so multiset equality
+    of the union is exactly the conjunction of the six per-op checks:
+    remove_stop_terms (term.rs:344-353), remove_terms_by
+    (term.rs:363-379), sorted_dict_order_vector (term.rs:401-409),
+    Hits::sort_by on doc_len (scoring.rs:105-108), scale
+    (term.rs:139-147), sub_terms (term.rs:80-106)."""
+
+    def tag(df: DataFrame, op: str, v: str, v2=None, k="term") -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col(k) if k in df.columns else F.lit("")).alias("k"),
+            F.col(v).cast("double").alias("v"),
+            (F.col(v2) if v2 else F.lit(0)).cast("long").alias("v2"),
+        )
+
+    from functools import reduce
+
+    parts = [
+        tag(q_remove_stop_terms(spark, sf_dir), "stop", "tf"),
+        tag(q_remove_terms_by(spark, sf_dir), "pred", "tf"),
+        tag(q_sorted_dict_order(spark, sf_dir), "dict", "tf", v2="pos"),
+        tag(q_sort_by_doclen(spark, sf_dir), "doclen", "score", v2="doc_len", k=""),
+        tag(q_scale_counts(spark, sf_dir), "scale", "tf"),
+        tag(q_sub_terms(spark, sf_dir), "sub", "tf"),
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND gate: delta_corpus (corpus/mod.rs:125-142) and
+    merge_corpus (corpus/mod.rs:145-158) over the same (en, zh) stats
+    pair, tagged and unioned — one driver slot, both checks attested."""
+    docs = load_documents(spark, sf_dir)
+    a = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "en")))
+    b = corpus_stats(term_frequencies(docs.filter(F.col("lang") == "zh")))
+    d = corpus_ops.delta_corpus(a, b).select(
+        F.lit("delta").alias("op"), "term", "df"
+    )
+    m = corpus_ops.merge_corpus(a, b).select(
+        F.lit("merge").alias("op"), "term", "df"
+    )
+    return d.unionByName(m)
+
+
 def q_add_terms_from_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """term.rs:127-134 merge: sum counts of two freq maps (here: doubled)."""
     from tf_idf_vectorizer_spark.functions.termfreq import add_terms_from_freq
@@ -856,8 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_term_ratio": q_unique_term_ratio,
         "probability_vector": q_probability_vector,
         "top_terms_global": q_top_terms_global,
-        "delta_corpus": q_delta_corpus,
-        "merge_corpus": q_merge_corpus,
+        "corpus_ops": q_corpus_ops,
         "events_hourly": q_events_hourly,
         "bm25_packed_topk": q_bm25_packed,
         "bm25_wand_topk": q_bm25_wand,
@@ -880,12 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_fingerprints,
-        "remove_stop_terms": q_remove_stop_terms,
-        "remove_terms_by": q_remove_terms_by,
-        "sorted_dict_order": q_sorted_dict_order,
-        "sort_by_doclen": q_sort_by_doclen,
-        "scale_counts": q_scale_counts,
-        "sub_terms": q_sub_terms,
+        "termfreq_algebra": q_termfreq_algebra,
     }
 
 
@@ -1073,42 +1102,50 @@ FROM tf WHERE doc_id < 20""",
         "top_terms_global": SQL_PRELUDE
         + """SELECT term, sum(tf)::BIGINT AS total_tf FROM tf
 GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 50""",
-        "delta_corpus": f"""
+        "corpus_ops": f"""
 WITH a AS ({stats_of(lang_tf('en'))}), b AS ({stats_of(lang_tf('zh'))}),
 d AS (
     SELECT coalesce(a.term, b.term) AS term,
            greatest(coalesce(a.df, 0) - coalesce(b.df, 0), 0)::BIGINT AS df
     FROM a FULL OUTER JOIN b ON a.term = b.term
-)
-SELECT term, df FROM d WHERE df > 0""",
-        "merge_corpus": f"""
-WITH a AS ({stats_of(lang_tf('en'))}), b AS ({stats_of(lang_tf('zh'))}),
+),
 u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
-SELECT term, sum(df)::BIGINT AS df FROM u GROUP BY term""",
+SELECT 'delta' AS op, term, df FROM d WHERE df > 0
+UNION ALL
+SELECT 'merge' AS op, term, sum(df)::BIGINT AS df FROM u GROUP BY term""",
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
-        "remove_stop_terms": SQL_PRELUDE
-        + """SELECT doc_id, term, tf FROM tf WHERE doc_id < 50
-AND term NOT IN ('the','of','and','to','a','in','is','it')""",
-        "remove_terms_by": SQL_PRELUDE
-        + """SELECT doc_id, term, tf FROM tf WHERE doc_id < 50
-AND NOT (length(term) <= 3 OR tf < 2)""",
-        "sorted_dict_order": SQL_PRELUDE
-        + """SELECT doc_id,
-       (row_number() OVER (PARTITION BY doc_id ORDER BY term ASC))::INT AS pos,
-       term, tf
-FROM tf WHERE doc_id < 30""",
-        "sort_by_doclen": f"""
-WITH hits AS ({_bm25_sql(["spark", "join"], 10_000_000)})
-SELECT doc_id, score, doc_len FROM hits
-ORDER BY doc_len ASC, doc_id ASC LIMIT {K}""",
-        "scale_counts": SQL_PRELUDE
-        + """SELECT doc_id, term, floor(tf * 2.5::DOUBLE + 0.5::DOUBLE)::BIGINT AS tf
-FROM tf WHERE doc_id < 30 AND floor(tf * 2.5::DOUBLE + 0.5::DOUBLE) > 0""",
-        "sub_terms": SQL_PRELUDE
-        + """SELECT doc_id, term, (tf - 1)::BIGINT AS tf
+        # COMPOUND: UNION ALL of the six original §2.2/§2.6 oracles with
+        # an op tag (schema normalized to op/doc_id/k/v/v2) — multiset
+        # equality of the union == conjunction of the six checks
+        "termfreq_algebra": SQL_PRELUDE
+        + f""",
+hits AS ({_bm25_sql(["spark", "join"], 10_000_000)}),
+doclen AS (
+    SELECT doc_id, score, doc_len FROM hits
+    ORDER BY doc_len ASC, doc_id ASC LIMIT {K}
+)
+SELECT 'stop' AS op, doc_id, term AS k, tf::DOUBLE AS v, 0::BIGINT AS v2
+FROM tf WHERE doc_id < 50
+AND term NOT IN ('the','of','and','to','a','in','is','it')
+UNION ALL
+SELECT 'pred' AS op, doc_id, term AS k, tf::DOUBLE AS v, 0::BIGINT AS v2
+FROM tf WHERE doc_id < 50 AND NOT (length(term) <= 3 OR tf < 2)
+UNION ALL
+SELECT 'dict' AS op, doc_id, term AS k, tf::DOUBLE AS v,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY term ASC))::BIGINT AS v2
+FROM tf WHERE doc_id < 30
+UNION ALL
+SELECT 'doclen' AS op, doc_id, '' AS k, score AS v, doc_len::BIGINT AS v2
+FROM doclen
+UNION ALL
+SELECT 'scale' AS op, doc_id, term AS k,
+       floor(tf * 2.5::DOUBLE + 0.5::DOUBLE) AS v, 0::BIGINT AS v2
+FROM tf WHERE doc_id < 30 AND floor(tf * 2.5::DOUBLE + 0.5::DOUBLE) > 0
+UNION ALL
+SELECT 'sub' AS op, doc_id, term AS k, (tf - 1)::DOUBLE AS v, 0::BIGINT AS v2
 FROM tf WHERE doc_id < 40 AND tf - 1 > 0""",
         "add_terms_from_freq": SQL_PRELUDE
         + """SELECT doc_id, term, (tf + tf)::BIGINT AS tf FROM tf WHERE doc_id < 20""",
