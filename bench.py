@@ -161,6 +161,99 @@ def main() -> None:
             results[f"wand8m_{mode}"] = round(min(reps), 3)
         results["wand8m_rank_match"] = w8_rows["exact"] == w8_rows["wand"]
 
+        # ---- 3c. DISTRIBUTED WAND variant at the same >=8M volume.
+        # The driver-planned path above collects block metadata; at
+        # 10^12 docs the metadata itself outgrows the driver and
+        # _wand_topk_distributed is the ONLY path — force it
+        # (META_COLLECT_MAX=0) and require it to beat the distributed
+        # exact pass rank-identically.
+        saved_mcm = idx8.META_COLLECT_MAX
+        idx8.META_COLLECT_MAX = 0
+        try:
+            idx8.bm25_topk(w8_terms, k=10, mode="wand").collect()  # codegen
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                rows = idx8.bm25_topk(w8_terms, k=10, mode="wand").collect()
+                reps.append(time.time() - t0)
+            results["wand8m_dist"] = round(min(reps), 3)
+            results["wand8m_dist_rank_match"] = (
+                [(r["doc_id"], round(r["score"], 6)) for r in rows]
+                == w8_rows["exact"]
+            )
+        finally:
+            idx8.META_COLLECT_MAX = saved_mcm
+        t0 = time.time()
+        idx8.bm25_topk(w8_terms, k=10, mode="exact").collect()
+        results["wand8m_dist_exact"] = round(time.time() - t0, 3)
+        # trend point at ~2x the volume (the dist variant's fixed
+        # planning amortizes with volume; see BASELINE.md crossover)
+        wide_terms = ["t1", "t2", "t3", "t4", "t5", "t6", "s3", "s9"]
+        results["wand_wide_entries"] = int(
+            sum(r["df"] for r in idx8._query_info(wide_terms))
+        )
+        wrows = {}
+        for mode, mcm in (("exact", None), ("dist", 0)):
+            if mcm is not None:
+                idx8.META_COLLECT_MAX = mcm
+            m = "exact" if mode == "exact" else "wand"
+            try:
+                idx8.bm25_topk(wide_terms, k=10, mode=m).collect()
+                reps = []
+                for _ in range(2):
+                    t0 = time.time()
+                    rows = idx8.bm25_topk(wide_terms, k=10, mode=m).collect()
+                    reps.append(time.time() - t0)
+            finally:
+                idx8.META_COLLECT_MAX = saved_mcm
+            wrows[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
+            results[f"wand_wide_{mode}"] = round(min(reps), 3)
+        results["wand_wide_dist_rank_match"] = wrows["exact"] == wrows["dist"]
+
+        # ---- 3d. incremental ingest at scale: pure-append batches onto
+        # the live multi-million-doc index must cost O(batch), not
+        # O(corpus) — doc_dict appends under the commit watermark, only
+        # the (small) term dictionary rewrites.  Then compact() folds
+        # every generation back to gen 0 with tight WAND bounds.
+        if os.environ.get("BENCH_INCR", "1") != "0":
+            from pyspark.sql import functions as F
+            from tf_idf_vectorizer_spark.streaming.incremental import (
+                IncrementalIndex,
+            )
+
+            n_batches = int(os.environ.get("BENCH_INCR_BATCHES", "4"))
+            bs = int(os.environ.get("BENCH_INCR_DOCS", "100000"))
+            ii = IncrementalIndex(spark, f"{tmp}/w8_idx", cfg)
+            batch_secs = []
+            for bi in range(n_batches):
+                batch = synth_topical_corpus(
+                    spark, bs, seed=100 + bi
+                ).select(
+                    (F.col("doc_id") + F.lit(n8 + bi * bs)).alias("doc_id"),
+                    "text",
+                )
+                t0 = time.time()
+                ii.apply_batch(adds=batch)
+                batch_secs.append(time.time() - t0)
+            results["incr_batch_sec_first"] = round(batch_secs[0], 3)
+            results["incr_batch_sec_last"] = round(batch_secs[-1], 3)
+            results["incr_batch_sec"] = round(statistics.median(batch_secs), 3)
+            results["incr_batch_docs"] = bs
+            results["incr_docs_per_sec"] = round(
+                bs / statistics.median(batch_secs), 1
+            )
+            t0 = time.time()
+            ii.compact()
+            results["compact_sec"] = round(time.time() - t0, 1)
+            idx8c = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
+            post = {}
+            for mode in ("exact", "wand"):
+                t0 = time.time()
+                rows = idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()
+                results[f"wand8m_compacted_{mode}"] = round(time.time() - t0, 3)
+                post[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
+            results["wand8m_after_compact_match"] = post["exact"] == post["wand"]
+
     # batch mode: 200 queries in ONE job — the per-query scheduling
     # floor amortizes (this is how a serving tier should call the engine)
     batch = {
@@ -173,6 +266,21 @@ def main() -> None:
     results["batch_200q_sec"] = round(dt, 3)
     results["batch_qps"] = round(200 / dt, 1)
     results["batch_rows"] = n_rows
+
+    # serving under adversarial vocab churn: every query a DISTINCT
+    # rare-ish term, so the decoded-postings LRU never hits — measures
+    # the cache-miss serving floor and exercises the eviction loop's
+    # memory bound (each query pays one pruned fetch job; a resident
+    # workload is serving_p50 above)
+    churn = []
+    for i in range(100):
+        t0 = time.time()
+        idx.bm25_topk_rows([f"t{30_000 + (i * 97) % 19_000}"], k=10)
+        churn.append(time.time() - t0)
+    results["serving_churn_p50"] = round(statistics.median(churn), 3)
+    results["serving_churn_p95"] = round(
+        sorted(churn)[max(0, int(len(churn) * 0.95) - 1)], 3
+    )
 
     # ---- 4. exact-path scorer latency on sf docs -----------------------
     searcher = ExactSearcher(spark, docs)

@@ -125,6 +125,54 @@ def test_wand_rank_identity_with_interleaved_generations(spark, tmp_path):
         assert wand == exact
 
 
+def test_all_scoring_paths_bit_identical(spark, tmp_path):
+    """Every BM25 path (distributed exact, driver-planned WAND, forced-
+    distributed WAND, single-node rows) must produce BIT-identical f64
+    scores: canonical partial op grouping + ascending-term_id fold.
+    Without it, tie SETS are fold-dependent and two rank-identical
+    plans can order the k-th-score ties differently (observed at 8M
+    entries between the distributed exact and WAND paths)."""
+    rng = np.random.RandomState(3)
+    docs = [
+        (
+            i,
+            " ".join(
+                ["alpha"] * int(rng.randint(1, 4))
+                + ["beta"] * int(rng.randint(1, 3))
+                + ["gamma"] * int(rng.randint(0, 2))
+                + [f"site{i // 40}"]
+            ),
+        )
+        for i in range(200)
+    ]
+    d = str(tmp_path / "bits")
+    build_index(
+        spark,
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        d,
+        config=CFG,
+    )
+    idx = PackedIndex(spark, d, CFG)
+    terms = ["alpha", "beta", "gamma", "site2"]
+    k = 200  # every scored doc, not just top-k
+
+    def rows_of(df):
+        return sorted(
+            (r["doc_id"], r["score"].hex()) for r in df.collect()
+        )
+
+    exact = rows_of(idx.bm25_topk(terms, k=k, mode="exact"))
+    wand = rows_of(idx.bm25_topk(terms, k=k, mode="wand"))
+    idx.META_COLLECT_MAX = 0
+    dist = rows_of(idx.bm25_topk(terms, k=k, mode="wand"))
+    idx.META_COLLECT_MAX = PackedIndex.META_COLLECT_MAX
+    drv = sorted(
+        (doc, float(score).hex())
+        for doc, score, _dl in idx.bm25_topk_rows(terms, k=k)
+    )
+    assert exact == wand == dist == drv
+
+
 # ---------------------------------------------------------------------------
 # 2. merge tokenizer propagation
 # ---------------------------------------------------------------------------
@@ -193,6 +241,28 @@ def test_lru_eviction_continues_past_query_terms(spark, tmp_path):
     assert sum(v[0].size for v in cache.values()) <= 12
 
 
+def test_lru_bounded_under_vocab_churn(spark, tmp_path):
+    """A serving workload cycling through more distinct terms than the
+    budget holds must keep the decoded-postings cache at/below budget on
+    every step (no unbounded growth, no thrash-abort)."""
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(40)]
+    d = _build(spark, tmp_path / "churn", docs)
+    idx = PackedIndex(spark, d, CFG)
+    budget_entries = 24  # each term decodes to 1 posting
+    idx._driver_entry_budget = (
+        lambda: budget_entries * idx.TERM_CACHE_FRACTION
+    )
+    tids = [r["term_id"] for r in idx._query_info(
+        [f"w{i}_0" for i in range(40)]
+    )]
+    for t in tids:  # 40 distinct terms through a 24-entry budget
+        idx._decode_live_driver([t])
+        assert (
+            sum(v[0].size for v in idx._term_postings_cache.values())
+            <= budget_entries
+        )
+
+
 # ---------------------------------------------------------------------------
 # 4. replay guard is loud off local FS
 # ---------------------------------------------------------------------------
@@ -259,3 +329,86 @@ def test_commit_gc_grace_keeps_reader_tables(spark, tmp_path):
             assert not os.path.exists(p), f"stale {t} dir survived zero grace"
     gc_state = json.load(open(f"{d}/_gc.json"))
     assert gc_state == {}
+
+
+# ---------------------------------------------------------------------------
+# 6. pure-append batches are O(batch): no doc_dict rewrite
+# ---------------------------------------------------------------------------
+def _meta(d):
+    with open(f"{d}/meta.json") as fh:
+        return json.load(fh)
+
+
+def test_pure_append_skips_doc_dict_rewrite_and_matches_rebuild(
+    spark, tmp_path
+):
+    """A batch of only brand-new doc ids must not rewrite doc_dict (the
+    O(corpus) step): the doc rows append under the commit watermark and
+    only term_dict gets a new version.  Queries afterwards equal a fresh
+    build of the union corpus (the reference add_doc contract,
+    mod.rs:118-181)."""
+    base = [(i, f"alpha beta doc{i % 7}") for i in range(50)]
+    batch = [(1000 + i, f"alpha gamma doc{i % 5}") for i in range(20)]
+    d = _build(spark, tmp_path / "pa", base)
+    ii = IncrementalIndex(spark, d, CFG)
+    ii.apply_batch(
+        adds=spark.createDataFrame(batch, "doc_id long, text string")
+    )
+    m = _meta(d)
+    assert "doc_dict" not in m.get("tables", {}), "pure append rewrote doc_dict"
+    assert m["tables"]["term_dict"].startswith("term_dict_v")
+    ref = _build(spark, tmp_path / "pa_ref", base + batch)
+    got = PackedIndex(spark, d, CFG)
+    want = PackedIndex(spark, ref, CFG)
+    for terms in (["alpha"], ["gamma", "beta"]):
+        g = [
+            (r["doc_id"], round(r["score"], 9), r["doc_len"])
+            for r in got.bm25_topk(terms, k=100, mode="exact").collect()
+        ]
+        w = [
+            (r["doc_id"], round(r["score"], 9), r["doc_len"])
+            for r in want.bm25_topk(terms, k=100, mode="exact").collect()
+        ]
+        assert g == w
+    # an overwrite batch still takes the rewrite path
+    ii2 = IncrementalIndex(spark, d, CFG)
+    ii2.apply_batch(
+        adds=spark.createDataFrame([(0, "rewritten")], "doc_id long, text string")
+    )
+    assert _meta(d)["tables"]["doc_dict"].startswith("doc_dict_v")
+
+
+def test_pure_append_invisible_before_commit_and_replay_safe(spark, tmp_path):
+    """Crash between the doc-row append and the meta commit: a reader
+    must not see the new docs (watermark), and a REPLAY of the batch
+    must not leave duplicate doc rows (the doc_dict replay guard)."""
+    base = [(i, f"alpha beta doc{i % 7}") for i in range(30)]
+    batch = [(500 + i, "alpha zeta") for i in range(5)]
+    d = _build(spark, tmp_path / "crash", base)
+
+    ii = IncrementalIndex(spark, d, CFG)
+    orig_commit = ii._commit
+
+    def boom(meta, new_tables):
+        raise RuntimeError("crash before commit")
+
+    ii._commit = boom
+    with pytest.raises(RuntimeError, match="crash"):
+        ii.apply_batch(
+            adds=spark.createDataFrame(batch, "doc_id long, text string")
+        )
+    # uncommitted doc rows are invisible through the watermark
+    reader = PackedIndex(spark, d, CFG)
+    assert reader.doc_dict.count() == len(base)
+    assert reader.bm25_topk(["zeta"], k=10).count() == 0
+    # replay converges: one live row per appended doc, query finds them
+    ii2 = IncrementalIndex(spark, d, CFG)
+    ii2.apply_batch(
+        adds=spark.createDataFrame(batch, "doc_id long, text string")
+    )
+    idx = PackedIndex(spark, d, CFG)
+    assert idx.doc_dict.count() == len(base) + len(batch)
+    assert (
+        idx.doc_dict.groupBy("doc_id").count().filter("count > 1").count() == 0
+    )
+    assert idx.bm25_topk(["zeta"], k=10).count() == 5

@@ -123,6 +123,21 @@ def _overlap_credit(
     return _range_max(u2, lo_idx, hi_idx)
 
 
+def _bm25_partial(ln_idf, tf, dl, k1: float, b: float, avg_len: float):
+    """Canonical BM25 per-posting partial — BIT-IDENTICAL operation
+    grouping to the JVM expression
+    ``log(idf) * (tf * (k1+1)) / (tf + k1*((1-b) + (b*dl)/avg))``.
+    IEEE multiplication/addition are not associative, so every scoring
+    path (JVM exact, flagged decode, numpy serving/rescore) must use the
+    same grouping AND fold per-doc partials in ascending term_id order,
+    or two docs with different inputs can land on the same double in one
+    path and one ulp apart in another — splitting top-k ties
+    differently between rank-identical paths (observed at 8M entries
+    between the distributed exact and WAND plans)."""
+    denom = tf + k1 * ((1.0 - b) + (b * dl) / avg_len)
+    return ln_idf * (tf * (k1 + 1.0)) / denom
+
+
 def _decode_batch(pdf: pd.DataFrame):
     """Vectorized multi-block decode of one Arrow batch: varint streams
     are self-delimiting, so the concatenated payloads decode in ONE
@@ -219,7 +234,17 @@ class PackedIndex:
                 f"index at {index_dir} was built with dtype={built!r}; "
                 f"open it with a matching EngineConfig (got {config.dtype!r})"
             )
-        self.doc_dict = spark.read.parquet(paths["doc_dict"]).cache()
+        # doc_dict shares the postings' committed-generation watermark:
+        # a pure-append batch writes its doc rows into the live dir
+        # BEFORE the meta commit (O(batch) ingest — no dict rewrite), so
+        # rows above the watermark are uncommitted and must stay
+        # invisible, exactly like orphan posting rows
+        dd = spark.read.parquet(paths["doc_dict"])
+        if "gen" in dd.columns:
+            dd = dd.filter(
+                F.col("gen") <= int(self.meta.get("generation", 0))
+            )
+        self.doc_dict = dd.cache()
         self.term_dict = spark.read.parquet(paths["term_dict"]).cache()
         self.doc_num = self.meta["doc_num"]
         # avg_len over all docs at query time (scoring.rs:415); an empty
@@ -456,6 +481,38 @@ class PackedIndex:
         return blocks.mapInPandas(_decode_blocks_iter, schema=_DECODE_SCHEMA)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _det_score(partial, qinfo: list[dict]):
+        """Deterministic per-doc score aggregate: fold the per-term BM25
+        partials in ASCENDING term_id order.  IEEE addition is
+        commutative but not associative, and a plain ``F.sum`` folds in
+        physical row order — which varies per doc with partitioning, so
+        two docs with IDENTICAL inputs could differ in the last ulp and
+        split a tie differently between two plans (observed: the
+        distributed WAND vs exact paths at 8M entries disagreed on the
+        k-th-score tie set).  Postings hold exactly ONE row per
+        (term, doc), so each per-term conditional sum is order-free and
+        the explicit left-to-right fold is bit-deterministic — the
+        reference's single-threaded accumulation order (scoring.rs:428),
+        restated.  For very wide queries the conditional-agg tree would
+        bloat codegen; fall back to a sort-then-fold over collected
+        (term_id, partial) structs, same fold order."""
+        tids = sorted(int(r["term_id"]) for r in qinfo)
+        if len(tids) <= 64:
+            parts = [
+                F.sum(F.when(F.col("term_id") == t, partial)) for t in tids
+            ]
+            score = F.coalesce(parts[0], F.lit(0.0))
+            for p in parts[1:]:
+                score = score + F.coalesce(p, F.lit(0.0))
+            return score
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("term_id").alias("t"), partial.alias("p")))
+        )
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x["p"]
+        )
+
     def _score_decoded(
         self,
         decoded: DataFrame,
@@ -488,7 +545,10 @@ class PackedIndex:
         partial = F.log(F.col("idf")) * (tfd * F.lit(k1 + 1.0)) / denom
         return (
             joined.groupBy("doc_id")
-            .agg(F.sum(partial).alias("score"), F.first("doc_len").alias("doc_len"))
+            .agg(
+                self._det_score(partial, qinfo).alias("score"),
+                F.first("doc_len").alias("doc_len"),
+            )
         )
 
     # below this many posting entries, a single-pass exact decode+score
@@ -704,9 +764,11 @@ class PackedIndex:
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         live = self._decode_live_driver(tids)
         ids_all, sc_all, dl_all = [], [], []
-        for t, (dids, tf, dl) in live.items():
-            denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
-            sc_all.append(math.log(idf_map[t]) * (k1 + 1.0) * tf / denom)
+        for t in sorted(live):  # ascending term_id = canonical fold order
+            dids, tf, dl = live[t]
+            sc_all.append(
+                _bm25_partial(math.log(idf_map[t]), tf, dl, k1, b, self.avg_len)
+            )
             ids_all.append(dids)
             dl_all.append(dl)
         if not ids_all:
@@ -973,7 +1035,10 @@ class PackedIndex:
         )
         partial = F.log(F.col("idf")) * (tfd * F.lit(k1 + 1.0)) / denom
         scored = joined.groupBy("query_id", "doc_id").agg(
-            F.sum(partial).alias("score"), F.first("doc_len").alias("doc_len")
+            self._det_score(
+                partial, [{"term_id": t} for t in tids]
+            ).alias("score"),
+            F.first("doc_len").alias("doc_len"),
         )
         from pyspark.sql import Window
 
@@ -995,12 +1060,17 @@ class PackedIndex:
         live = self._decode_live_driver(tids)
         partials: dict[int, tuple] = {}
         for t, (dids, tf, dl) in live.items():
-            denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
-            partials[t] = (dids, math.log(idf_map[t]) * (k1 + 1.0) * tf / denom, dl)
+            partials[t] = (
+                dids,
+                _bm25_partial(math.log(idf_map[t]), tf, dl, k1, b, self.avg_len),
+                dl,
+            )
         out_rows = []
         term_id_of = {term: r["term_id"] for term, r in qinfo.items()}
         for qid, terms in queries.items():
-            tl = [term_id_of[t] for t in set(terms) if t in term_id_of]
+            # ascending term_id = canonical fold order (ties consistent
+            # with every other scoring path)
+            tl = sorted(term_id_of[t] for t in set(terms) if t in term_id_of)
             parts = [partials[t] for t in tl if t in partials]
             if not parts:
                 continue
@@ -1181,9 +1251,13 @@ class PackedIndex:
             live = self._decode_live_driver([r["term_id"] for r in qinfo])
             idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
             ids_all, sc_all = [], []
-            for t, (dids, tf, dl) in live.items():
-                denom = tf + k1 * (1.0 - b + b * dl / self.avg_len)
-                sc_all.append(math.log(idf_map[t]) * (k1 + 1.0) * tf / denom)
+            for t in sorted(live):  # canonical ascending-term_id fold
+                dids, tf, dl = live[t]
+                sc_all.append(
+                    _bm25_partial(
+                        math.log(idf_map[t]), tf, dl, k1, b, self.avg_len
+                    )
+                )
                 ids_all.append(dids)
             ids = np.concatenate(ids_all)
             if ids.size:
@@ -1676,12 +1750,15 @@ class PackedIndex:
         ok = (pos < sids.size) & (sids[pc] == dids) & (gens[pc] == pgen)
         dids, ptid, tf, ptgt = dids[ok], ptid[ok], tf[ok], ptgt[ok]
         dl = dls[pc[ok]]
+        # canonical fold: bincount accumulates in row order, so sort the
+        # rows by term_id — each doc's partials then add in ascending
+        # term_id order, bit-identical to every other scoring path
+        o = np.argsort(ptid, kind="stable")
+        dids, ptid, tf, ptgt, dl = dids[o], ptid[o], tf[o], ptgt[o], dl[o]
         ln_idf = np.zeros(dids.size)
         for t, v in idf_map.items():
             ln_idf[ptid == t] = math.log(v)
-        score = ln_idf * (k1 + 1.0) * tf / (
-            tf + k1 * (1.0 - b + b * dl / self.avg_len)
-        )
+        score = _bm25_partial(ln_idf, tf, dl, k1, b, self.avg_len)
         uids, inv = np.unique(dids, return_inverse=True)
         sums = np.bincount(inv, weights=score)
         udl = np.zeros(uids.size)
@@ -1727,6 +1804,8 @@ class PackedIndex:
         k1: float,
         b: float,
         doc_ranges: list[tuple] | None = None,
+        block_filter=None,
+        kdf_how: str = "inner",
     ) -> DataFrame:
         """Decode the flagged blocks (kdf: block key -> is_target) in one
         job and exact-BM25-score the docs that appear in >=1 target
@@ -1735,10 +1814,20 @@ class PackedIndex:
         disjoint, covering every doc id the flagged blocks can decode)
         is pushed into the doc_dict scan — with the build's doc-id-
         sorted layout that prunes the dictionary read to the candidate
-        row groups instead of the whole corpus."""
-        blocks = self._blocks_for(tids).join(
-            kdf, ["term_id", "salt", "block_seq", "gen"]
+        row groups instead of the whole corpus.  ``block_filter`` (a
+        Column predicate over the postings metadata columns) prunes the
+        PAYLOAD scan; with ``kdf_how='left'`` that filter alone selects
+        the candidate blocks and kdf only carries the is_target=True
+        keys (broadcast by the caller) — the payload relation then
+        never shuffles."""
+        blocks = self._blocks_for(tids)
+        if block_filter is not None:
+            blocks = blocks.filter(block_filter)
+        blocks = blocks.join(
+            kdf, ["term_id", "salt", "block_seq", "gen"], kdf_how
         )
+        if kdf_how == "left":
+            blocks = blocks.fillna({"is_target": False})
 
         def decode_flagged(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1787,7 +1876,7 @@ class PackedIndex:
         return (
             joined.groupBy("doc_id")
             .agg(
-                F.sum(partial).alias("score"),
+                self._det_score(partial, qinfo).alias("score"),
                 F.first("doc_len").alias("doc_len"),
                 F.max("is_target").alias("is_target"),
             )
@@ -1889,6 +1978,136 @@ class PackedIndex:
             return None
         return pd.concat(outs, ignore_index=True)
 
+    #: segment-grid resolution for the distributed WAND's range-aligned
+    #: dense credits; the driver-side summary is |query terms| x this
+    #: many doubles (a few MB at most), independent of corpus size
+    DIST_WAND_SEGMENTS = 8192
+    #: a block spanning more than this many segments contributes through
+    #: its term's global maximum instead of exploding (only very rare
+    #: terms' blocks span widely; those are sparse-credit territory)
+    DIST_WAND_WIDE_CAP = 64
+
+    def _seg_survivors(
+        self,
+        meta2: DataFrame,
+        tids: list[int],
+        sparse_set: set,
+        key_cols: list[str],
+        theta: float,
+    ) -> DataFrame:
+        """Distributed WAND survival with doc-range-ALIGNED 'others'
+        credits via a segment grid: the doc-id space is cut into
+        DIST_WAND_SEGMENTS fixed segments, each term's per-segment max
+        block ub is aggregated distributed (summary bounded by
+        |terms| x segments, independent of corpus size), the
+        per-(term, segment) others sums are computed driver-side in
+        numpy, and BROADCAST back; survival is decided inside the
+        exploded pipeline (exists a segment of the block where
+        ub + others + sp_credit clears θ), so nothing per-block ever
+        lands on the driver or shuffles wide.  Sound: a doc in block B
+        lies in one of B's segments s, and the t'-block containing it
+        overlaps s, so segmax(t', s) >= its contribution; the exists-max
+        over B's segments only loosens further.  Blocks spanning >
+        DIST_WAND_WIDE_CAP segments use their term's global max
+        (seg = -1 rows — sound superset).  ``meta2`` must carry
+        ``ub`` and ``sp_credit``.  Returns the surviving blocks with
+        key_cols + term_id/salt/min_doc/max_doc."""
+        # grid size from the meta-estimated doc-id span (salts partition
+        # the space) — no extra job; a coarse overestimate only loosens
+        # the credits, never unsounds them
+        hi_est = max(
+            1,
+            int(self.meta.get("salt_range", 1))
+            * int(self.meta.get("n_salts", 1) or 1),
+        )
+        G = min(self.DIST_WAND_SEGMENTS, hi_est)
+        seg_sz = max(1, (hi_est + G) // G)
+        cap = self.DIST_WAND_WIDE_CAP
+        seg_expr = F.explode(
+            F.when(
+                F.col("seg_hi") - F.col("seg_lo") > cap,
+                F.array(F.lit(-1).cast("long")),
+            ).otherwise(F.sequence("seg_lo", "seg_hi"))
+        ).alias("seg")
+        bm = meta2.withColumn(
+            "seg_lo", (F.col("min_doc") / F.lit(seg_sz)).cast("long")
+        ).withColumn("seg_hi", (F.col("max_doc") / F.lit(seg_sz)).cast("long"))
+        # ONE summary job: wide blocks collapse to seg=-1, narrow blocks
+        # explode into their (<= cap+1) segments
+        segmax = self._topandas_arrow(
+            bm.select("term_id", seg_expr, "ub")
+            .groupBy("term_id", "seg")
+            .agg(F.max("ub").alias("mx"))
+        )
+        if not len(segmax):
+            return meta2.limit(0)
+        n_seg = max(1, int(segmax["seg"].max()) + 1)
+        tlist = sorted(set(int(t) for t in tids))
+        tix = {t: i for i, t in enumerate(tlist)}
+        cr = np.zeros((len(tlist), n_seg))
+        narrow = segmax[segmax["seg"] >= 0]
+        if len(narrow):
+            ti = narrow["term_id"].map(tix).to_numpy(np.int64)
+            sg = narrow["seg"].to_numpy(np.int64)
+            cr[ti, sg] = narrow["mx"].to_numpy(np.float64)
+        # NO iterrows here: a mixed int64/float64 row upcasts term_id to
+        # float64, which is lossy above 2^53 (xxhash64 ids) — column
+        # access keeps the exact int64 values
+        wide = segmax[segmax["seg"] < 0]
+        for t, mx in zip(
+            wide["term_id"].to_numpy(np.int64),
+            wide["mx"].to_numpy(np.float64),
+        ):
+            i = tix[int(t)]
+            cr[i] = np.maximum(cr[i], float(mx))
+        dense_rows = [tix[t] for t in tlist if t not in sparse_set]
+        total = (
+            cr[dense_rows].sum(axis=0) if dense_rows else np.zeros(n_seg)
+        )
+        others = np.empty((len(tlist), n_seg))
+        for t in tlist:
+            i = tix[t]
+            others[i] = total - (cr[i] if t not in sparse_set else 0.0)
+        # broadcast (term, seg) -> others; seg = -1 rows carry each
+        # term's global fallback for wide blocks
+        pt_max = others.max(axis=1)
+        oth_pdf = pd.DataFrame(
+            {
+                "term_id": np.concatenate(
+                    [
+                        np.repeat(np.array(tlist, dtype=np.int64), n_seg),
+                        np.array(tlist, dtype=np.int64),
+                    ]
+                ),
+                "seg": np.concatenate(
+                    [
+                        np.tile(np.arange(n_seg, dtype=np.int64), len(tlist)),
+                        np.full(len(tlist), -1, dtype=np.int64),
+                    ]
+                ),
+                "oth": np.concatenate([others.ravel(), pt_max]),
+            }
+        )
+        oth_df = F.broadcast(self.spark.createDataFrame(oth_pdf))
+        # survival decided inside the exploded pipeline: the only wide
+        # operation is the final per-key dedup over rows that ALREADY
+        # cleared θ
+        return (
+            bm.select(
+                *key_cols, "min_doc", "max_doc", "ub", "sp_credit", seg_expr
+            )
+            .join(oth_df, ["term_id", "seg"])
+            .filter(
+                F.col("ub") + F.col("oth") + F.col("sp_credit")
+                >= F.lit(theta) - F.lit(1e-9)
+            )
+            .groupBy(*key_cols)
+            .agg(
+                F.first("min_doc").alias("min_doc"),
+                F.first("max_doc").alias("max_doc"),
+            )
+        )
+
     def _wand_topk_distributed(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         """Fully distributed block-max WAND for head-term territory
         (metadata too large for the driver).  Only bounded things touch
@@ -1912,17 +2131,25 @@ class PackedIndex:
         meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
         if tight:
             meta_cols.append("max_score")
-        blocks_meta = (
-            self._blocks_for(tids).select(*meta_cols)
-            .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
-            .cache()
-        )
+        # the cached metadata relation is reused ACROSS queries through a
+        # small LRU (serving sessions repeat vocabularies); entries are
+        # immutable per generation and unpersisted on eviction
+        ckey = (tuple(sorted(tids)), tight, float(k1), float(b),
+                int(self.meta.get("generation", 0)))
+        dcache = getattr(self, "_dist_meta_cache", None)
+        if dcache is None:
+            dcache = self._dist_meta_cache = {}
+        blocks_meta = dcache.get(ckey)
+        if blocks_meta is None:
+            blocks_meta = (
+                self._blocks_for(tids).select(*meta_cols)
+                .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
+                .cache()
+            )
+            while len(dcache) >= 4:
+                dcache.pop(next(iter(dcache))).unpersist()
+            dcache[ckey] = blocks_meta
 
-        # per-term upper bound over all its blocks (one row per term)
-        term_ubs = {
-            r["term_id"]: r["ub"]
-            for r in blocks_meta.groupBy("term_id").agg(F.max("ub").alias("ub")).collect()
-        }
         theta = -math.inf
         # θ floors from sparse postings (job-free beyond the bounded
         # fetch): each sparse posting scored with its block's max_dl is
@@ -1999,7 +2226,6 @@ class PackedIndex:
         if not math.isfinite(theta):
             # no θ means no pruning: the kdf machinery would decode
             # everything anyway — take the plain exact single pass
-            blocks_meta.unpersist()
             scored = self._score_decoded(
                 self.decode_postings(tids), qinfo, k1, b
             )
@@ -2012,7 +2238,6 @@ class PackedIndex:
         # equi broadcast hash join with the range check as a post-
         # filter, output bounded by |query terms| x sparse df.
         sparse_set = set(sparse_ids) if sp_pdf is not None else set()
-        meta2 = blocks_meta
         if sparse_set:
             spdf = F.broadcast(
                 self.spark.createDataFrame(
@@ -2041,109 +2266,196 @@ class PackedIndex:
             )
         else:
             meta2 = blocks_meta.withColumn("sp_credit", F.lit(0.0))
-        dense_ubs = {
-            t: u for t, u in term_ubs.items() if t not in sparse_set
-        }
-        sum_dense = sum(dense_ubs.values())
-        surv_cond = None
-        for tid in tids:
-            others = sum_dense - dense_ubs.get(tid, 0.0)
-            c = (F.col("term_id") == tid) & (
-                F.col("ub") + F.lit(others) + F.col("sp_credit")
-                >= F.lit(theta) - F.lit(1e-9)
+        # range-ALIGNED dense credits (the driver-planned path's key
+        # pruning lever, restated distributed): survival via a
+        # segment-grid summary instead of per-term global maxima — on
+        # corpora with doc-id locality (crawl order) the global maxima
+        # credit every block with the discriminative terms' full weight
+        # and nothing prunes
+        surviving = self._seg_survivors(
+            meta2, tids, sparse_set, key_cols, theta
+        ).cache()
+        n_surv = surviving.count()
+        n_blocks = blocks_meta.count()  # cached relation: metadata-cheap
+        if n_surv >= 0.9 * n_blocks:
+            # pruning removed (almost) nothing — the flag/join machinery
+            # would only add overhead over the plain exact single pass,
+            # which selects the same top-k by the pruning proof (same
+            # cap as the driver-planned path)
+            surviving.unpersist()
+            scored = self._score_decoded(
+                self.decode_postings(tids), qinfo, k1, b
             )
-            surv_cond = c if surv_cond is None else (surv_cond | c)
-        surviving = meta2.filter(surv_cond)
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         # ---- pass 3: fused candidate + exact rescore --------------------
-        # any top-k doc appears in >=1 surviving block; its rows in
-        # PRUNED blocks are still needed for the exact score, and those
-        # blocks can only live in the same salt (salts partition the
-        # doc-id space).  Merge the surviving ranges per salt
-        # (applyInPandas: tiny per-group output), then a salt-equi +
-        # range-overlap join picks the blocks to decode.
-        def _merge_iv_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-            ivs = _merge_intervals(
-                list(zip(pdf["min_doc"].tolist(), pdf["max_doc"].tolist()))
-            )
-            return pd.DataFrame(
-                {
-                    "salt": np.full(len(ivs), pdf["salt"].iloc[0], dtype=np.int32),
-                    "lo": [a for a, _ in ivs],
-                    "hi": [c for _, c in ivs],
-                }
-            )
-
+        # Any top-k doc appears in >=1 surviving block; its rows in
+        # PRUNED blocks are still needed for the exact score.  Candidate
+        # doc ranges come from the surviving blocks — collected MERGED
+        # and bounded (precise when the survivor set is driver-sized,
+        # per-salt envelopes otherwise), pushed into both the payload
+        # and doc_dict scans as row-group-prunable predicates, with the
+        # surviving keys broadcast as the is_target flag: ONE scan job,
+        # range-pruned, and the payload relation never shuffles.
+        surv_keys = surviving.select(*key_cols).withColumn(
+            "is_target", F.lit(True)
+        )
+        kdf = F.broadcast(surv_keys) if n_surv <= 2_000_000 else surv_keys
         if len(tids) == 1:
             # one term -> doc-disjoint blocks -> pruned blocks never
             # participate in the exact rescore (see driver-planned path)
-            kdf = surviving.select(*key_cols).withColumn(
-                "is_target", F.lit(True)
+            scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
+        elif n_surv <= 100_000:
+            # survivor set is driver-sized: ONE collect gives ranges,
+            # keys and flags, and a second bounded collect gives the
+            # candidate blocks — everything else (interval merge,
+            # block_seq pushdown intervals, survival flags) is numpy.
+            # Surviving SPARSE blocks enter as their decoded docs'
+            # singleton ranges, not their (enormous) block span.
+            sk = self._topandas_arrow(
+                surviving.select(*key_cols, "min_doc", "max_doc")
+            )
+            lo_parts, hi_parts = [], []
+            sk_tid = sk["term_id"].to_numpy(np.int64)
+            dense_mask = ~np.isin(sk_tid, list(sparse_set)) if sparse_set else (
+                np.ones(len(sk), dtype=bool)
+            )
+            if dense_mask.any():
+                lo_parts.append(sk["min_doc"].to_numpy(np.int64)[dense_mask])
+                hi_parts.append(sk["max_doc"].to_numpy(np.int64)[dense_mask])
+            if sparse_set:
+                for i in np.flatnonzero(~dense_mask):
+                    sel = sp_pdf[
+                        (sp_pdf["term_id"] == sk_tid[i])
+                        & (sp_pdf["salt"] == int(sk["salt"].iloc[i]))
+                        & (sp_pdf["doc_id"] >= int(sk["min_doc"].iloc[i]))
+                        & (sp_pdf["doc_id"] <= int(sk["max_doc"].iloc[i]))
+                    ]
+                    d = sel["doc_id"].to_numpy(np.int64)
+                    lo_parts.append(d)
+                    hi_parts.append(d)
+            r_lo, r_hi = _merge_ranges(
+                np.concatenate(lo_parts), np.concatenate(hi_parts)
+            )
+            if r_lo.size > 256:
+                dr = [(int(r_lo[0]), int(r_hi[-1]))]
+            else:
+                dr = list(zip(r_lo.tolist(), r_hi.tolist()))
+            ov = None
+            for lo, hi in dr:
+                c = (F.col("min_doc") <= int(hi)) & (
+                    F.col("max_doc") >= int(lo)
+                )
+                ov = c if ov is None else (ov | c)
+            cand = self._topandas_arrow(
+                blocks_meta.filter(ov).select(*key_cols, "n")
+            )
+            part_vol = int(cand["n"].sum())
+            # The payload files are sorted by (term_id, block_seq), so a
+            # min_doc/max_doc predicate cannot prune row groups — but
+            # block_seq is doc-id-monotone within (term, salt, gen), so
+            # the candidate doc ranges translate into per-group
+            # block_seq INTERVALS whose predicate aligns with the file
+            # sort order and prunes the payload IO itself.
+            blk = ov
+            grp = cand.groupby(["term_id", "salt", "gen"])["block_seq"].agg(
+                ["min", "max"]
+            )
+            if 0 < len(grp) <= 256:
+                blk = None
+                for (t, s, g), r in grp.iterrows():
+                    c = (
+                        (F.col("term_id") == int(t))
+                        & (F.col("salt") == int(s))
+                        & (F.col("gen") == int(g))
+                        & F.col("block_seq").between(
+                            int(r["min"]), int(r["max"])
+                        )
+                    )
+                    blk = c if blk is None else (blk | c)
+            surv_set = set(zip(*(sk[c].to_numpy() for c in key_cols)))
+            flags = np.fromiter(
+                (
+                    kk in surv_set
+                    for kk in zip(*(cand[c].to_numpy() for c in key_cols))
+                ),
+                dtype=bool,
+                count=len(cand),
+            )
+            # pruned-volume driver rescore (same adaptive move as the
+            # driver-planned path): when the CANDIDATE volume after
+            # pruning is driver-sized and doc stats are pinned, one
+            # Arrow fetch + numpy beats the distributed join/agg's two
+            # shuffles — the distributed rescore below remains the
+            # unbounded-scale fallback
+            if (
+                part_vol
+                <= min(self.DRIVER_VOLUME_MAX, self._driver_entry_budget())
+                and self._doc_stats_np() is not None
+            ):
+                rows = self._rescore_driver_rows(
+                    cand["term_id"].to_numpy(np.int64),
+                    cand["salt"].to_numpy(np.int32),
+                    cand["block_seq"].to_numpy(np.int32),
+                    cand["gen"].to_numpy(np.int32),
+                    flags, idf_map, k1, b, k,
+                )
+                surviving.unpersist()
+                return self.spark.createDataFrame(
+                    rows, "doc_id long, score double, doc_len long"
+                )
+            scored = self._score_flagged_arrays(
+                cand["term_id"].to_numpy(np.int64),
+                cand["salt"].to_numpy(np.int32),
+                cand["block_seq"].to_numpy(np.int32),
+                cand["gen"].to_numpy(np.int32),
+                flags, qinfo, k1, b, doc_ranges=dr,
             )
         else:
-            # surviving SPARSE blocks enter as their decoded docs'
-            # singleton ranges, not their (enormous) block span — the
-            # span would drag every block of every term back into the
-            # rescore (same fix as the driver-planned path)
-            dense_surv = surviving
-            sp_iv = None
-            if sparse_set:
-                dense_surv = surviving.filter(
-                    ~F.col("term_id").isin(list(sparse_set))
+            # survivor set too large to collect precisely: per-salt
+            # envelopes (salts partition the doc-id space, so these are
+            # disjoint and the count is bounded by n_salts), surviving
+            # keys as a (possibly broadcast) flag relation, and a fully
+            # distributed rescore
+            ivp = self._topandas_arrow(
+                (
+                    surviving.filter(
+                        ~F.col("term_id").isin(list(sparse_set))
+                    )
+                    if sparse_set
+                    else surviving
                 )
-                sp_keys = (
-                    surviving.filter(F.col("term_id").isin(list(sparse_set)))
-                    .select("term_id", "salt", "min_doc", "max_doc")
-                    .collect()
-                )  # bounded: sparse terms hold few blocks by definition
-                iv_rows = []
-                for r in sp_keys:
-                    sel = sp_pdf[
-                        (sp_pdf["term_id"] == r["term_id"])
-                        & (sp_pdf["salt"] == r["salt"])
-                        & (sp_pdf["doc_id"] >= r["min_doc"])
-                        & (sp_pdf["doc_id"] <= r["max_doc"])
-                    ]
-                    iv_rows.extend(
-                        (int(r["salt"]), int(d), int(d))
-                        for d in sel["doc_id"]
-                    )
-                if iv_rows:
-                    sp_iv = self.spark.createDataFrame(
-                        iv_rows, "salt int, lo long, hi long"
-                    )
-            surv_iv = (
-                dense_surv.select("salt", "min_doc", "max_doc")
                 .groupBy("salt")
-                .applyInPandas(_merge_iv_pdf, "salt int, lo long, hi long")
-            )
-            if sp_iv is not None:
-                surv_iv = surv_iv.unionByName(sp_iv)
-            cand_blocks = (
-                blocks_meta.alias("m")
-                .join(
-                    surv_iv.alias("iv"),
-                    (F.col("m.salt") == F.col("iv.salt"))
-                    & (F.col("m.min_doc") <= F.col("iv.hi"))
-                    & (F.col("m.max_doc") >= F.col("iv.lo")),
+                .agg(
+                    F.min("min_doc").alias("min_doc"),
+                    F.max("max_doc").alias("max_doc"),
                 )
-                .select(*[F.col(f"m.{c}") for c in key_cols])
-                .distinct()
             )
-            surv_flag = surviving.select(*key_cols).withColumn(
-                "is_target", F.lit(True)
+            r_lo, r_hi = _merge_ranges(
+                ivp["min_doc"].to_numpy(np.int64),
+                ivp["max_doc"].to_numpy(np.int64),
             )
-            kdf = cand_blocks.join(surv_flag, key_cols, "left").fillna(
-                {"is_target": False}
+            if r_lo.size > 256:
+                dr = [(int(r_lo[0]), int(r_hi[-1]))]
+            else:
+                dr = list(zip(r_lo.tolist(), r_hi.tolist()))
+            ov = None
+            for lo, hi in dr:
+                c = (F.col("min_doc") <= int(hi)) & (
+                    F.col("max_doc") >= int(lo)
+                )
+                ov = c if ov is None else (ov | c)
+            scored = self._score_flagged_df(
+                kdf, tids, qinfo, k1, b,
+                doc_ranges=dr, block_filter=ov, kdf_how="left",
             )
-        scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
         rows = (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
         # the result is k rows — materializing it here lets the metadata
         # cache be released immediately instead of accreting one cached
         # relation per head-term query over a long-lived serving session
-        blocks_meta.unpersist()
+        surviving.unpersist()
         return self.spark.createDataFrame(
             [(r["doc_id"], r["score"], r["doc_len"]) for r in rows],
             "doc_id long, score double, doc_len long",

@@ -169,20 +169,23 @@ class IncrementalIndex:
                 del pending[entry]
         write_json_atomic(pending, gc_path)
 
-    def _clean_orphan_postings(self, postings_path: str, gen: int) -> None:
-        """Idempotent-append guard: delete posting FILES carrying any row
-        at generation >= the one about to be written.  Such rows can only
-        be orphans of a crashed/replayed attempt (the committed watermark
-        is gen-1), and an append writes whole files at a single new
-        generation, so file-level deletion removes exactly the orphans.
-        Without this, a foreachBatch replay after a crash-after-append
-        would write a SECOND copy of the gen-N rows and both would become
-        visible once gen N commits (double-counted BM25 sums)."""
+    def _clean_orphan_rows(self, table_path: str, gen: int) -> None:
+        """Idempotent-append guard: delete FILES carrying any row at
+        generation >= the one about to be written (postings AND, for
+        pure-append batches, doc_dict).  Such rows can only be orphans of
+        a crashed/replayed attempt (the committed watermark is gen-1),
+        and an append writes whole files at a single new generation, so
+        file-level deletion removes exactly the orphans.  Without this, a
+        foreachBatch replay after a crash-after-append would write a
+        SECOND copy of the gen-N rows and both would become visible once
+        gen N commits (double-counted BM25 sums / duplicate doc rows)."""
         spark = self.spark
-        spark.catalog.refreshByPath(postings_path)  # bypass listing caches
+        spark.catalog.refreshByPath(table_path)  # bypass listing caches
         try:
-            df = spark.read.parquet(postings_path)
+            df = spark.read.parquet(table_path)
         except Exception:
+            return
+        if "gen" not in df.columns:  # pre-protocol table: nothing appended
             return
         files = [
             r[0]
@@ -198,7 +201,7 @@ class IncrementalIndex:
                 os.remove(local)
                 removed = True
         if removed:
-            spark.catalog.refreshByPath(postings_path)
+            spark.catalog.refreshByPath(table_path)
 
     # ------------------------------------------------------------------
     def apply_batch(
@@ -234,11 +237,13 @@ class IncrementalIndex:
         committed_gen = int(meta.get("generation", 0))
         gen = committed_gen + 1
         postings_path = self._path(meta, "postings")
-        # FIRST, before any postings-reading plan exists: remove
-        # uncommitted files a crashed attempt left at this (or a later)
-        # generation — the idempotent-append guard.  Doing it later would
-        # pull files out from under lazy plans that already listed them.
-        self._clean_orphan_postings(postings_path, gen)
+        # FIRST, before any table-reading plan exists: remove uncommitted
+        # files a crashed attempt left at this (or a later) generation —
+        # the idempotent-append guard, for postings AND the pure-append
+        # doc rows.  Doing it later would pull files out from under lazy
+        # plans that already listed them.
+        self._clean_orphan_rows(postings_path, gen)
+        self._clean_orphan_rows(self._path(meta, "doc_dict"), gen)
         delete_ids = sorted(set(delete_ids or []))
         doc_dict = spark.read.parquet(self._path(meta, "doc_dict"))
         orig_doc_dict = doc_dict
@@ -271,6 +276,13 @@ class IncrementalIndex:
                 .collect()
             }
         dead_ids = sorted(dead_ids)
+        # PURE-APPEND fast path (crawl ingestion: only brand-new doc
+        # ids, no deletes): nothing existing changes except df/idf, so
+        # doc_dict need not be rewritten — the batch's doc rows append
+        # under the commit watermark and per-batch cost stays
+        # O(batch + vocab) instead of O(corpus)
+        pure_append = not dead_ids
+        append_rows = None
 
         # ---- DF corrections for dying rows (Corpus::sub_set) ------------
         df_sub = None
@@ -395,7 +407,7 @@ class IncrementalIndex:
                 F.lit(0.0).alias("norm"),
                 F.lit(gen).alias("gen"),
             )
-            if dd_extra:
+            if dd_extra and not pure_append:
                 # extra doc_dict columns (url, lang, ...): overwritten
                 # docs carry their previous values forward; brand-new
                 # docs get a CORRECTLY TYPED null via the left join (a
@@ -404,9 +416,26 @@ class IncrementalIndex:
                 add_rows = add_rows.join(
                     orig_doc_dict.select("doc_id", *dd_extra), "doc_id", "left"
                 )
-            doc_dict = doc_dict.unionByName(
-                add_rows.select("doc_id", "doc_len", "norm", "gen", *dd_extra)
-            )
+            if pure_append:
+                # every batch doc is brand-new (no collisions, no
+                # deletes): the doc rows APPEND to the live doc_dict dir
+                # under the gen watermark instead of forcing an
+                # O(corpus) dict rewrite — aligned to the exact stored
+                # schema (typed nulls for extras; no doc_dict self-read
+                # while writing into it)
+                tgt = {f.name: f.dataType for f in orig_doc_dict.schema.fields}
+                append_rows = add_rows.select(
+                    *[
+                        (
+                            F.col(c) if c in add_rows.columns else F.lit(None)
+                        ).cast(tgt[c]).alias(c)
+                        for c in orig_doc_dict.columns
+                    ]
+                )
+            else:
+                doc_dict = doc_dict.unionByName(
+                    add_rows.select("doc_id", "doc_len", "norm", "gen", *dd_extra)
+                )
 
         # ---- stats rewrite (the IDF invalidation) -------------------------
         new_stats = term_dict.select("term_id", "term", "df")
@@ -458,17 +487,31 @@ class IncrementalIndex:
         # its stats)
         ver = int(meta.get("table_version", 0)) + 1
         meta["table_version"] = ver
-        td_name, dd_name = f"term_dict_v{ver}", f"doc_dict_v{ver}"
+        td_name = f"term_dict_v{ver}"
         new_term_dict.coalesce(2).write.mode("overwrite").parquet(
             f"{self.dir}/{td_name}"
         )
-        doc_dict.select("doc_id", "doc_len", "norm", "gen", *dd_extra).coalesce(
-            4
-        ).write.mode("overwrite").parquet(f"{self.dir}/{dd_name}")
+        new_tables = {"term_dict": td_name}
+        if pure_append:
+            if append_rows is not None:
+                dd_path = self._path(meta, "doc_dict")
+                # invisible until the meta flip (readers filter
+                # gen <= committed watermark); reclaimed by the replay
+                # guard if this attempt crashes before the commit
+                append_rows.coalesce(4).write.mode("append").parquet(dd_path)
+                spark.catalog.refreshByPath(dd_path)
+        else:
+            dd_name = f"doc_dict_v{ver}"
+            doc_dict.select(
+                "doc_id", "doc_len", "norm", "gen", *dd_extra
+            ).coalesce(4).write.mode("overwrite").parquet(
+                f"{self.dir}/{dd_name}"
+            )
+            new_tables["doc_dict"] = dd_name
         meta["n_terms"] = int(
             spark.read.parquet(f"{self.dir}/{td_name}").count()
         )
-        self._commit(meta, {"term_dict": td_name, "doc_dict": dd_name})
+        self._commit(meta, new_tables)
         if had_norms and refresh_norms:
             meta = self.refresh_norms()
         return meta
