@@ -334,7 +334,9 @@ def main() -> None:
                 f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={n}",
                 f"{here}/jobs/scaling_build.py",
                 "--docs", str(n_docs), "--out", f"{tmp}/scale_{n}",
-                "--salts", str(max(2 * hi, 2)), "--trials", "2", "--ctl",
+                "--salts", str(max(2 * hi, 2)),
+                "--trials", os.environ.get("BENCH_SCALE_TRIALS", "3"),
+                "--ctl",
             ]
             proc = subprocess.run(cmd, capture_output=True, text=True)
             line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]

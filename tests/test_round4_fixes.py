@@ -113,6 +113,10 @@ def test_wand_rank_identity_with_interleaved_generations(spark, tmp_path):
     )
     idx = PackedIndex(spark, d, CFG)
     assert int(idx.meta.get("generation", 0)) > 0
+    # round 4: the sparse machinery works at generation > 0 too (stale
+    # rows are liveness-filtered against the pinned doc stats before
+    # any θ floor / credit is derived from them)
+    assert idx._sparse_query_terms(idx._query_info(["rare", "alpha"])) != []
     for terms in (["rare", "alpha"], ["gamma", "beta"], ["alpha", "beta"]):
         exact = [
             (r["doc_id"], round(r["score"], 9))
@@ -123,6 +127,17 @@ def test_wand_rank_identity_with_interleaved_generations(spark, tmp_path):
             for r in idx.bm25_topk(terms, k=15, mode="wand").collect()
         ]
         assert wand == exact
+        # the forced-DISTRIBUTED variant must also hold rank identity
+        # over interleaved generations (overlapping block ranges)
+        idx.META_COLLECT_MAX = 0
+        try:
+            dist = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in idx.bm25_topk(terms, k=15, mode="wand").collect()
+            ]
+        finally:
+            idx.META_COLLECT_MAX = PackedIndex.META_COLLECT_MAX
+        assert dist == exact
 
 
 def test_all_scoring_paths_bit_identical(spark, tmp_path):

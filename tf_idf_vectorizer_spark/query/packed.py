@@ -1526,6 +1526,15 @@ class PackedIndex:
                 ln_idf = math.log(idf_map[tid])
                 min_dl = np.repeat(spm["min_dl"].to_numpy(np.float64)[rr], nn)
                 max_dl = np.repeat(spm["max_dl"].to_numpy(np.float64)[rr], nn)
+                brow = np.repeat(spm["_mp_row"].to_numpy(np.int64)[rr], nn)
+                live = self._sparse_live_mask(
+                    ids, np.repeat(spm["gen"].to_numpy(np.int64)[rr], nn)
+                )
+                if live is not None:
+                    ids, tf = ids[live], tf[live]
+                    min_dl, max_dl, brow = (
+                        min_dl[live], max_dl[live], brow[live]
+                    )
                 if ln_idf > 0:
                     ub_p = ln_idf * (k1 + 1.0) * tf / (
                         tf + k1 * (1.0 - b + b * min_dl / self.avg_len)
@@ -1537,7 +1546,6 @@ class PackedIndex:
                     ub_p = np.zeros(ids.size)
                     fl_p = np.full(ids.size, -np.inf)
                 o = np.argsort(ids, kind="stable")
-                brow = np.repeat(spm["_mp_row"].to_numpy(np.int64)[rr], nn)
                 sp[tid] = (ids[o], ub_p[o], fl_p[o], brow[o])
 
         theta = -math.inf
@@ -1884,6 +1892,20 @@ class PackedIndex:
             .drop("is_target")
         )
 
+    def _sparse_live_mask(self, ids: np.ndarray, gens: np.ndarray):
+        """Liveness mask for driver-decoded sparse postings, or None at
+        generation 0 (every row live).  At generation > 0 a sparse
+        term's payload contains stale rows of overwritten/deleted docs;
+        a dead row's θ floor would not correspond to any live doc
+        (UNSOUND θ), so rows must be filtered against the pinned doc
+        stats before any bound is derived from them."""
+        if int(self.meta.get("generation", 0)) == 0:
+            return None
+        sids, _dls, dgens = self._doc_stats_np()
+        pos = np.searchsorted(sids, ids)
+        pc = np.minimum(pos, sids.size - 1)
+        return (pos < sids.size) & (sids[pc] == ids) & (dgens[pc] == gens)
+
     def _sparse_query_terms(self, qinfo: list[dict]) -> list[int]:
         """Query terms whose whole postings are worth pulling to the
         driver: df driver-sized AND at least 10x smaller than the
@@ -1892,8 +1914,13 @@ class PackedIndex:
         query of similar-sized smallish terms the fetch costs as much
         as the decode it would save (measured: a forced-WAND 190k-entry
         mixed query regressed 1.9 -> 2.5 s when a 93k-df term was
-        classified sparse)."""
-        if int(self.meta.get("generation", 0)) != 0:
+        classified sparse).  At generation > 0 (stale rows present) the
+        machinery needs the pinned doc stats for liveness filtering —
+        available exactly when the corpus is driver-stat-sized."""
+        if (
+            int(self.meta.get("generation", 0)) != 0
+            and self._doc_stats_np() is None
+        ):
             return []
         if "max_dl" not in self._postings().columns:
             return []
@@ -1925,7 +1952,7 @@ class PackedIndex:
         spf = self._topandas_arrow(
             self._blocks_for(sparse_ids).select(
                 "term_id", "salt", "n", "min_dl", "max_dl",
-                "doc_deltas", "tfs",
+                "doc_deltas", "tfs", "gen",
             )
         )
         if not len(spf):
@@ -1951,6 +1978,13 @@ class PackedIndex:
             ln_idf = math.log(idf_map[tid])
             min_dl = np.repeat(spf["min_dl"].to_numpy(np.float64)[rr], nn)
             max_dl = np.repeat(spf["max_dl"].to_numpy(np.float64)[rr], nn)
+            salts = np.repeat(spf["salt"].to_numpy(np.int32)[rr], nn)
+            live = self._sparse_live_mask(
+                ids, np.repeat(spf["gen"].to_numpy(np.int64)[rr], nn)
+            )
+            if live is not None:
+                ids, tf, salts = ids[live], tf[live], salts[live]
+                min_dl, max_dl = min_dl[live], max_dl[live]
             if ln_idf > 0:
                 ub_p = ln_idf * (k1 + 1.0) * tf / (
                     tf + k1 * (1.0 - b + b * min_dl / self.avg_len)
@@ -1965,9 +1999,7 @@ class PackedIndex:
                 pd.DataFrame(
                     {
                         "term_id": np.full(ids.size, tid, dtype=np.int64),
-                        "salt": np.repeat(
-                            spf["salt"].to_numpy(np.int32)[rr], nn
-                        ),
+                        "salt": salts,
                         "doc_id": ids,
                         "ub": ub_p,
                         "floor": fl_p,
