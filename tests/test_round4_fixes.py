@@ -140,6 +140,61 @@ def test_wand_rank_identity_with_interleaved_generations(spark, tmp_path):
         assert dist == exact
 
 
+def test_seg_survivors_superset_of_true_overlap_prune(spark, tmp_path):
+    """Property: the distributed WAND's segment-grid survival set must
+    CONTAIN every block that the exact range-aligned bound keeps
+    (quantization may only loosen the prune, never tighten it) — for
+    random, overlapping (gen>0-like) block layouts."""
+    d = _build(spark, tmp_path / "segp", [(0, "a b"), (1, "b c")])
+    idx = PackedIndex(spark, d, CFG)
+    span = int(idx.meta["salt_range"]) * int(idx.meta["n_salts"])
+    rng = np.random.RandomState(17)
+    key_cols = ["term_id", "salt", "block_seq", "gen"]
+    pruned_any = False
+    for trial in range(6):
+        n_terms = rng.randint(2, 4)
+        rows, metas = [], []
+        for t in range(n_terms):
+            for s in range(rng.randint(3, 9)):
+                lo = int(rng.randint(0, max(1, span - 1)))
+                hi = lo + int(rng.randint(0, span // 2))
+                ub = float(rng.rand() * 3)
+                rows.append((t, 0, s, rng.randint(0, 2), lo, hi, ub, 0.0))
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows,
+            columns=key_cols + ["min_doc", "max_doc", "ub", "sp_credit"],
+        )
+        meta2 = spark.createDataFrame(pdf)
+        theta = float(np.percentile(pdf["ub"], 60) * 1.5)
+        got = {
+            tuple(int(r[c]) for c in key_cols)
+            for r in idx._seg_survivors(
+                meta2, list(range(n_terms)), set(), key_cols, theta
+            ).collect()
+        }
+        # numpy oracle: exact overlap-aligned others
+        keep_oracle = set()
+        for _i, r in pdf.iterrows():
+            others = 0.0
+            for t2 in range(n_terms):
+                if t2 == r["term_id"]:
+                    continue
+                ov = pdf[
+                    (pdf["term_id"] == t2)
+                    & (pdf["min_doc"] <= r["max_doc"])
+                    & (pdf["max_doc"] >= r["min_doc"])
+                ]
+                others += float(ov["ub"].max()) if len(ov) else 0.0
+            if r["ub"] + others >= theta - 1e-9:
+                keep_oracle.add(tuple(int(r[c]) for c in key_cols))
+        assert keep_oracle <= got, (trial, keep_oracle - got)
+        if len(got) < len(pdf):
+            pruned_any = True
+    assert pruned_any, "segment prune never removed anything across trials"
+
+
 def test_all_scoring_paths_bit_identical(spark, tmp_path):
     """Every BM25 path (distributed exact, driver-planned WAND, forced-
     distributed WAND, single-node rows) must produce BIT-identical f64

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container — ``decode_image`` raises NotImplementedError unless the
-deterministic fake is requested), but the Spark-side contract is real
-and tested: schema, Arrow batch shape, partitioning, and the
-mapInPandas UDF signatures are exactly what a real decoder would use —
-swap ``_fake_features`` for PIL/librosa and nothing else changes.
+The IMAGE path is real end-to-end with zero dependencies: a pure-numpy
+decoder for netpbm P5/P6 and uncompressed 24-bit BMP
+(:func:`decode_image`), nearest-neighbour :func:`resize_image`, and a
+16-dim :func:`image_features` descriptor, wired through
+``extract_features(fake=False)``.  Compressed formats (JPEG/PNG) and
+the audio/video kernels still need codec libraries this container does
+not ship — those raise NotImplementedError, and the deterministic
+md5 fake remains the cross-engine-oracle default (``fake=True``).
 
 Scale notes: media bytes never pass through a shuffle — feature
 extraction is a map-only stage (mapInPandas) running where the bytes
@@ -57,12 +59,102 @@ def attach_fake_media(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _ppm_header(data: bytes):
+    """Parse a P5/P6 netpbm header -> (magic, width, height, maxval,
+    payload offset).  Whitespace/comment handling per the spec."""
+    tokens, i, n = [], 2, len(data)
+    while len(tokens) < 3 and i < n:
+        c = data[i:i + 1]
+        if c == b"#":
+            while i < n and data[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j:j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval
+    w, h, maxval = tokens
+    return w, h, maxval, i
+
+
 def decode_image(data: bytes) -> "np.ndarray":
-    """Real decoder stub — the container has no imaging libraries."""
+    """REAL image decoder, pure numpy (this container has no imaging
+    libraries, but netpbm P5/P6 and uncompressed 24-bit BMP need none):
+
+    - P6 (binary PPM)  -> (h, w, 3) uint8
+    - P5 (binary PGM)  -> (h, w) uint8
+    - BM (24-bit BI_RGB BMP) -> (h, w, 3) uint8 (rows flipped to
+      top-down, BGR -> RGB)
+
+    Anything else still raises NotImplementedError (JPEG/PNG genuinely
+    need a codec library)."""
+    if data[:2] in (b"P6", b"P5"):
+        w, h, maxval, off = _ppm_header(data)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 3 if data[:2] == b"P6" else 1
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=off)
+        return px.reshape((h, w, 3)) if ch == 3 else px.reshape((h, w))
+    if data[:2] == b"BM":
+        off = int.from_bytes(data[10:14], "little")
+        hdr_sz = int.from_bytes(data[14:18], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if hdr_sz < 40 or bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP")
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape((h, stride))[:, : w * 3].reshape((h, w, 3))
+        if not top_down:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; use fake=True for the "
-        "deterministic stand-in features"
+        "unsupported image format (pure-numpy decoder handles P5/P6 "
+        "netpbm and 24-bit BMP; JPEG/PNG need an imaging library) — "
+        "use fake=True for the deterministic stand-in features"
     )
+
+
+def resize_image(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbour resize, pure numpy — the resize step of the
+    decode/feature pipeline (vectorized integer index sampling)."""
+    h, w = arr.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[yi][:, xi]
+
+
+def image_features(arr: "np.ndarray", dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real 16-dim image descriptor from decoded pixels: per-channel
+    mean/std (6), aspect + log-area (2), 8-bin grayscale histogram —
+    deterministic, library-free."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    px = arr.astype(np.float32)
+    mean = px.mean(axis=(0, 1)) / 255.0
+    std = px.std(axis=(0, 1)) / 255.0
+    h, w = arr.shape[:2]
+    gray = px.mean(axis=2)
+    hist = np.histogram(gray, bins=8, range=(0.0, 256.0))[0]
+    hist = hist.astype(np.float32) / max(1, gray.size)
+    out = np.concatenate(
+        [
+            mean, std,
+            np.array([w / max(1, h), np.log1p(float(h * w)) / 20.0],
+                     dtype=np.float32),
+            hist,
+        ]
+    ).astype(np.float32)
+    return out[:dim]
 
 
 def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -75,16 +167,30 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Map-only feature extraction over binary media columns.
-    -> (doc_id, media_type, features array<float>)."""
-    if not fake:
-        # the real path would dispatch on media_type to PIL/librosa here
-        raise NotImplementedError("only the deterministic fake encoder is available")
+    -> (doc_id, media_type, features array<float>).
+
+    ``fake=True`` (the oracle-checked default) hashes the bytes into a
+    deterministic vector.  ``fake=False`` runs the REAL pipeline on
+    image rows: pure-numpy decode (P5/P6/BMP) -> :func:`image_features`
+    descriptor; audio/video rows still raise inside the kernel (no
+    codec libraries in this container)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_features(bytes(b)).tolist() for b in pdf["media"]
-            ]
+            if fake:
+                feats = [
+                    _fake_features(bytes(b)).tolist() for b in pdf["media"]
+                ]
+            else:
+                feats = []
+                for b, mt in zip(pdf["media"], pdf["media_type"]):
+                    if mt != "image":
+                        raise NotImplementedError(
+                            f"real {mt} decoding needs codec libraries"
+                        )
+                    feats.append(
+                        image_features(decode_image(bytes(b))).tolist()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
