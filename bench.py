@@ -210,6 +210,53 @@ def main() -> None:
             results[f"wand_wide_{mode}"] = round(min(reps), 3)
         results["wand_wide_dist_rank_match"] = wrows["exact"] == wrows["dist"]
 
+        # ---- 3c-XL. the distributed variant IN ITS OWN REGIME: at
+        # >=25M entries the block metadata outgrows the driver budget
+        # (so even mode='wand' dispatches distributed) and the planning
+        # floor amortizes — the forced-distributed variant must now
+        # BEAT the distributed exact pass rank-identically.  This is
+        # the heavyweight section (a ~20M-doc build); disable with
+        # BENCH_WAND_XL=0 when iterating.
+        if os.environ.get("BENCH_WAND_XL", "1") != "0":
+            n20 = int(os.environ.get("BENCH_WAND_XL_DOCS", "20000000"))
+            cfg_xl = EngineConfig(n_salts=32, block_size=128, term_buckets=64)
+            docs20 = synth_topical_corpus(spark, n20, n_sites=16)
+            t0 = time.time()
+            build_index(
+                spark, docs20, f"{tmp}/wxl_idx", config=cfg_xl, cache_tf=False
+            )
+            results["wand_xl_build_sec"] = round(time.time() - t0, 1)
+            results["wand_xl_docs"] = n20
+            idxxl = _PI(spark, f"{tmp}/wxl_idx", cfg_xl, warm=True)
+            results["wand_xl_entries"] = int(
+                sum(r["df"] for r in idxxl._query_info(w8_terms))
+            )
+            xrows = {}
+            for mode, mcm in (("exact", None), ("dist", 0)):
+                saved = idxxl.META_COLLECT_MAX
+                if mcm is not None:
+                    idxxl.META_COLLECT_MAX = mcm
+                m = "exact" if mode == "exact" else "wand"
+                try:
+                    idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
+                    reps = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        rows = idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
+                        reps.append(time.time() - t0)
+                finally:
+                    idxxl.META_COLLECT_MAX = saved
+                xrows[mode] = [
+                    (r["doc_id"], round(r["score"], 6)) for r in rows
+                ]
+                results[f"wand_xl_{mode}"] = round(min(reps), 3)
+            results["wand_xl_dist_rank_match"] = (
+                xrows["exact"] == xrows["dist"]
+            )
+            import shutil as _sh
+
+            _sh.rmtree(f"{tmp}/wxl_idx", ignore_errors=True)
+
         # ---- 3d. incremental ingest at scale: pure-append batches onto
         # the live multi-million-doc index must cost O(batch), not
         # O(corpus) — doc_dict appends under the commit watermark, only
