@@ -195,6 +195,29 @@ def test_seg_survivors_superset_of_true_overlap_prune(spark, tmp_path):
     assert pruned_any, "segment prune never removed anything across trials"
 
 
+def test_dist_wand_empty_survivor_set_returns_empty(spark, tmp_path):
+    """Defensive guard: if the distributed prune leaves zero survivors
+    (cannot happen with sound bounds, but the code must not crash on
+    np.concatenate of an empty range list), the query returns empty."""
+    docs = [
+        (i, ("alpha beta filler" if i % 3 == 0 else "filler other"))
+        for i in range(30)
+    ]
+    d = _build(spark, tmp_path / "empty", docs)
+    idx = PackedIndex(spark, d, CFG)
+    idx.META_COLLECT_MAX = 0
+    orig = idx._seg_survivors
+    called = {}
+
+    def fake(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k).limit(0)
+
+    idx._seg_survivors = fake
+    assert idx.bm25_topk(["alpha", "beta"], k=3, mode="wand").count() == 0
+    assert called, "theta never became finite; guard untested"
+
+
 def test_all_scoring_paths_bit_identical(spark, tmp_path):
     """Every BM25 path (distributed exact, driver-planned WAND, forced-
     distributed WAND, single-node rows) must produce BIT-identical f64

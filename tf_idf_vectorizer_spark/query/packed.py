@@ -2308,6 +2308,11 @@ class PackedIndex:
             meta2, tids, sparse_set, key_cols, theta
         ).cache()
         n_surv = surviving.count()
+        if n_surv == 0:
+            surviving.unpersist()
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_len long"
+            )
         n_blocks = blocks_meta.count()  # cached relation: metadata-cheap
         if n_surv >= 0.9 * n_blocks:
             # pruning removed (almost) nothing — the flag/join machinery
