@@ -54,6 +54,28 @@ def _build_synth(spark, n_docs, out_dir, cfg):
     return time.time() - t0
 
 
+def _emit(results: dict) -> None:
+    """One JSON line (the driver takes the LAST line): emitted once
+    before the heavyweight XL section and again at the end, so a
+    timeout mid-XL still leaves a complete bench line behind."""
+    total = sum(
+        v for k, v in results.items()
+        if k in ("sf_index_build", "synth_index_build", "query_p95")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_sec + wand_query_p95_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in results.items()},
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     results: dict[str, float] = {}
     cfg = EngineConfig(n_salts=16, block_size=128, term_buckets=64)
@@ -210,97 +232,6 @@ def main() -> None:
             results[f"wand_wide_{mode}"] = round(min(reps), 3)
         results["wand_wide_dist_rank_match"] = wrows["exact"] == wrows["dist"]
 
-        # ---- 3c-XL. the distributed variant IN ITS OWN REGIME: at
-        # >=25M entries the block metadata outgrows the driver budget
-        # (so even mode='wand' dispatches distributed) and the planning
-        # floor amortizes — the forced-distributed variant must now
-        # BEAT the distributed exact pass rank-identically.  This is
-        # the heavyweight section (a ~20M-doc build); disable with
-        # BENCH_WAND_XL=0 when iterating.
-        if os.environ.get("BENCH_WAND_XL", "1") != "0":
-            n20 = int(os.environ.get("BENCH_WAND_XL_DOCS", "20000000"))
-            cfg_xl = EngineConfig(n_salts=32, block_size=128, term_buckets=64)
-            docs20 = synth_topical_corpus(spark, n20, n_sites=16)
-            t0 = time.time()
-            build_index(
-                spark, docs20, f"{tmp}/wxl_idx", config=cfg_xl, cache_tf=False
-            )
-            results["wand_xl_build_sec"] = round(time.time() - t0, 1)
-            results["wand_xl_docs"] = n20
-            idxxl = _PI(spark, f"{tmp}/wxl_idx", cfg_xl, warm=True)
-            results["wand_xl_entries"] = int(
-                sum(r["df"] for r in idxxl._query_info(w8_terms))
-            )
-            xrows = {}
-            for mode, mcm in (("exact", None), ("dist", 0)):
-                saved = idxxl.META_COLLECT_MAX
-                if mcm is not None:
-                    idxxl.META_COLLECT_MAX = mcm
-                m = "exact" if mode == "exact" else "wand"
-                try:
-                    idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
-                    reps = []
-                    for _ in range(2):
-                        t0 = time.time()
-                        rows = idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
-                        reps.append(time.time() - t0)
-                finally:
-                    idxxl.META_COLLECT_MAX = saved
-                xrows[mode] = [
-                    (r["doc_id"], round(r["score"], 6)) for r in rows
-                ]
-                results[f"wand_xl_{mode}"] = round(min(reps), 3)
-            results["wand_xl_dist_rank_match"] = (
-                xrows["exact"] == xrows["dist"]
-            )
-            import shutil as _sh
-
-            _sh.rmtree(f"{tmp}/wxl_idx", ignore_errors=True)
-
-        # ---- 3d. incremental ingest at scale: pure-append batches onto
-        # the live multi-million-doc index must cost O(batch), not
-        # O(corpus) — doc_dict appends under the commit watermark, only
-        # the (small) term dictionary rewrites.  Then compact() folds
-        # every generation back to gen 0 with tight WAND bounds.
-        if os.environ.get("BENCH_INCR", "1") != "0":
-            from pyspark.sql import functions as F
-            from tf_idf_vectorizer_spark.streaming.incremental import (
-                IncrementalIndex,
-            )
-
-            n_batches = int(os.environ.get("BENCH_INCR_BATCHES", "4"))
-            bs = int(os.environ.get("BENCH_INCR_DOCS", "100000"))
-            ii = IncrementalIndex(spark, f"{tmp}/w8_idx", cfg)
-            batch_secs = []
-            for bi in range(n_batches):
-                batch = synth_topical_corpus(
-                    spark, bs, seed=100 + bi
-                ).select(
-                    (F.col("doc_id") + F.lit(n8 + bi * bs)).alias("doc_id"),
-                    "text",
-                )
-                t0 = time.time()
-                ii.apply_batch(adds=batch)
-                batch_secs.append(time.time() - t0)
-            results["incr_batch_sec_first"] = round(batch_secs[0], 3)
-            results["incr_batch_sec_last"] = round(batch_secs[-1], 3)
-            results["incr_batch_sec"] = round(statistics.median(batch_secs), 3)
-            results["incr_batch_docs"] = bs
-            results["incr_docs_per_sec"] = round(
-                bs / statistics.median(batch_secs), 1
-            )
-            t0 = time.time()
-            ii.compact()
-            results["compact_sec"] = round(time.time() - t0, 1)
-            idx8c = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
-            post = {}
-            for mode in ("exact", "wand"):
-                t0 = time.time()
-                rows = idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()
-                results[f"wand8m_compacted_{mode}"] = round(time.time() - t0, 3)
-                post[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
-            results["wand8m_after_compact_match"] = post["exact"] == post["wand"]
-
     # batch mode: 200 queries in ONE job — the per-query scheduling
     # floor amortizes (this is how a serving tier should call the engine)
     batch = {
@@ -335,6 +266,105 @@ def main() -> None:
         t0 = time.time()
         searcher.similarity(algo, ["spark", "join", "query"], k=10).collect()
         results[f"exact_{algo}"] = round(time.time() - t0, 3)
+
+    # partial line first: if a harness timeout kills the heavyweight
+    # XL section below, the driver still gets a complete bench line
+    _emit(results)
+
+    # ---- 6. XL: the distributed variant IN ITS OWN REGIME: at
+    # >=25M entries the block metadata outgrows the driver budget
+    # (so even mode='wand' dispatches distributed) and the planning
+    # floor amortizes — the forced-distributed variant must now
+    # BEAT the distributed exact pass rank-identically.  This is
+    # the heavyweight section (a ~20M-doc build); disable with
+    # BENCH_WAND_XL=0 when iterating.
+    if os.environ.get("BENCH_WAND_XL", "1") != "0":
+        from tf_idf_vectorizer_spark.query.packed import PackedIndex as _PI
+        from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
+
+        w8_terms = ["t1", "t2", "s3", "s9"]
+        n20 = int(os.environ.get("BENCH_WAND_XL_DOCS", "20000000"))
+        cfg_xl = EngineConfig(n_salts=32, block_size=128, term_buckets=64)
+        docs20 = synth_topical_corpus(spark, n20, n_sites=16)
+        t0 = time.time()
+        build_index(
+            spark, docs20, f"{tmp}/wxl_idx", config=cfg_xl, cache_tf=False
+        )
+        results["wand_xl_build_sec"] = round(time.time() - t0, 1)
+        results["wand_xl_docs"] = n20
+        idxxl = _PI(spark, f"{tmp}/wxl_idx", cfg_xl, warm=True)
+        results["wand_xl_entries"] = int(
+            sum(r["df"] for r in idxxl._query_info(w8_terms))
+        )
+        xrows = {}
+        for mode, mcm in (("exact", None), ("dist", 0)):
+            saved = idxxl.META_COLLECT_MAX
+            if mcm is not None:
+                idxxl.META_COLLECT_MAX = mcm
+            m = "exact" if mode == "exact" else "wand"
+            try:
+                idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
+                reps = []
+                for _ in range(2):
+                    t0 = time.time()
+                    rows = idxxl.bm25_topk(w8_terms, k=10, mode=m).collect()
+                    reps.append(time.time() - t0)
+            finally:
+                idxxl.META_COLLECT_MAX = saved
+            xrows[mode] = [
+                (r["doc_id"], round(r["score"], 6)) for r in rows
+            ]
+            results[f"wand_xl_{mode}"] = round(min(reps), 3)
+        results["wand_xl_dist_rank_match"] = (
+            xrows["exact"] == xrows["dist"]
+        )
+        import shutil as _sh
+
+        _sh.rmtree(f"{tmp}/wxl_idx", ignore_errors=True)
+
+    # ---- 3d. incremental ingest at scale: pure-append batches onto
+    # the live multi-million-doc index must cost O(batch), not
+    # O(corpus) — doc_dict appends under the commit watermark, only
+    # the (small) term dictionary rewrites.  Then compact() folds
+    # every generation back to gen 0 with tight WAND bounds.
+    if os.environ.get("BENCH_INCR", "1") != "0":
+        from pyspark.sql import functions as F
+        from tf_idf_vectorizer_spark.streaming.incremental import (
+            IncrementalIndex,
+        )
+
+        n_batches = int(os.environ.get("BENCH_INCR_BATCHES", "4"))
+        bs = int(os.environ.get("BENCH_INCR_DOCS", "100000"))
+        ii = IncrementalIndex(spark, f"{tmp}/w8_idx", cfg)
+        batch_secs = []
+        for bi in range(n_batches):
+            batch = synth_topical_corpus(
+                spark, bs, seed=100 + bi
+            ).select(
+                (F.col("doc_id") + F.lit(n8 + bi * bs)).alias("doc_id"),
+                "text",
+            )
+            t0 = time.time()
+            ii.apply_batch(adds=batch)
+            batch_secs.append(time.time() - t0)
+        results["incr_batch_sec_first"] = round(batch_secs[0], 3)
+        results["incr_batch_sec_last"] = round(batch_secs[-1], 3)
+        results["incr_batch_sec"] = round(statistics.median(batch_secs), 3)
+        results["incr_batch_docs"] = bs
+        results["incr_docs_per_sec"] = round(
+            bs / statistics.median(batch_secs), 1
+        )
+        t0 = time.time()
+        ii.compact()
+        results["compact_sec"] = round(time.time() - t0, 1)
+        idx8c = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
+        post = {}
+        for mode in ("exact", "wand"):
+            t0 = time.time()
+            rows = idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()
+            results[f"wand8m_compacted_{mode}"] = round(time.time() - t0, 3)
+            post[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
+        results["wand8m_after_compact_match"] = post["exact"] == post["wand"]
 
     spark.stop()
 
@@ -410,21 +440,7 @@ def main() -> None:
             }
         )
 
-    total = sum(
-        v for k, v in results.items()
-        if k in ("sf_index_build", "synth_index_build", "query_p95")
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "index_build_sec + wand_query_p95_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in results.items()},
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-            }
-        )
-    )
+    _emit(results)
 
 
 if __name__ == "__main__":
