@@ -157,17 +157,18 @@ def main() -> None:
     # have and block-range-aligned bounds exploit.  (On an iid corpus
     # every block looks alike and WAND's worst case is exact + one
     # cached metadata fetch — measured separately in BASELINE.md.)
+    # shared by the 8M / XL / incremental sections below — defined here
+    # so each section runs independently of the others' env gates
+    w8_terms = ["t1", "t2", "s3", "s9"]
+    n8 = int(os.environ.get("BENCH_WAND8M_DOCS", "6000000"))
     if os.environ.get("BENCH_WAND8M", "1") != "0":
-        from tf_idf_vectorizer_spark.query.packed import PackedIndex as _PI
         from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
 
-        n8 = int(os.environ.get("BENCH_WAND8M_DOCS", "6000000"))
         docs8 = synth_topical_corpus(spark, n8)
         t0 = time.time()
         build_index(spark, docs8, f"{tmp}/w8_idx", config=cfg, cache_tf=False)
         results["wand8m_build_sec"] = round(time.time() - t0, 1)
-        idx8 = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
-        w8_terms = ["t1", "t2", "s3", "s9"]
+        idx8 = PackedIndex(spark, f"{tmp}/w8_idx", cfg, warm=True)
         results["wand8m_entries"] = int(
             sum(r["df"] for r in idx8._query_info(w8_terms))
         )
@@ -279,10 +280,8 @@ def main() -> None:
     # the heavyweight section (a ~20M-doc build); disable with
     # BENCH_WAND_XL=0 when iterating.
     if os.environ.get("BENCH_WAND_XL", "1") != "0":
-        from tf_idf_vectorizer_spark.query.packed import PackedIndex as _PI
         from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
 
-        w8_terms = ["t1", "t2", "s3", "s9"]
         n20 = int(os.environ.get("BENCH_WAND_XL_DOCS", "20000000"))
         cfg_xl = EngineConfig(n_salts=32, block_size=128, term_buckets=64)
         docs20 = synth_topical_corpus(spark, n20, n_sites=16)
@@ -292,7 +291,7 @@ def main() -> None:
         )
         results["wand_xl_build_sec"] = round(time.time() - t0, 1)
         results["wand_xl_docs"] = n20
-        idxxl = _PI(spark, f"{tmp}/wxl_idx", cfg_xl, warm=True)
+        idxxl = PackedIndex(spark, f"{tmp}/wxl_idx", cfg_xl, warm=True)
         results["wand_xl_entries"] = int(
             sum(r["df"] for r in idxxl._query_info(w8_terms))
         )
@@ -327,8 +326,12 @@ def main() -> None:
     # O(corpus) — doc_dict appends under the commit watermark, only
     # the (small) term dictionary rewrites.  Then compact() folds
     # every generation back to gen 0 with tight WAND bounds.
-    if os.environ.get("BENCH_INCR", "1") != "0":
+    if (
+        os.environ.get("BENCH_INCR", "1") != "0"
+        and os.path.exists(f"{tmp}/w8_idx/meta.json")
+    ):
         from pyspark.sql import functions as F
+        from tf_idf_vectorizer_spark.sources.synth import synth_topical_corpus
         from tf_idf_vectorizer_spark.streaming.incremental import (
             IncrementalIndex,
         )
@@ -354,17 +357,41 @@ def main() -> None:
         results["incr_docs_per_sec"] = round(
             bs / statistics.median(batch_secs), 1
         )
+        # MIXED batch: 50k overwrites of live docs + 50k deletes against
+        # the multi-million-doc index.  Overwrite/delete takes the
+        # rewrite path (mod.rs:183-259 semantics) — this pins its cost
+        # at scale so a regression to O(corpus) work would show up here
+        bs2 = bs // 2
+        over = synth_topical_corpus(spark, bs2, seed=999).select(
+            (F.col("doc_id") * 7 % n8).alias("doc_id"), "text"
+        ).dropDuplicates(["doc_id"])
+        dels = [int(n8 + i) for i in range(bs2)]  # batch-0 adds above
+        t0 = time.time()
+        ii.apply_batch(adds=over, delete_ids=dels)
+        results["incr_mixed_batch_sec"] = round(time.time() - t0, 3)
         t0 = time.time()
         ii.compact()
         results["compact_sec"] = round(time.time() - t0, 1)
-        idx8c = _PI(spark, f"{tmp}/w8_idx", cfg, warm=True)
+        # compacted-index query parity: measured WARM (codegen pass +
+        # min-of-2 reps), same protocol as the fresh-build wand8m_*
+        # numbers above — cold single-shots can't distinguish a layout
+        # regression from cache state
+        idx8c = PackedIndex(spark, f"{tmp}/w8_idx", cfg, warm=True)
         post = {}
         for mode in ("exact", "wand"):
-            t0 = time.time()
-            rows = idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()
-            results[f"wand8m_compacted_{mode}"] = round(time.time() - t0, 3)
+            idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()  # codegen
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                rows = idx8c.bm25_topk(w8_terms, k=10, mode=mode).collect()
+                reps.append(time.time() - t0)
+            results[f"wand8m_compacted_{mode}"] = round(min(reps), 3)
             post[mode] = [(r["doc_id"], round(r["score"], 6)) for r in rows]
         results["wand8m_after_compact_match"] = post["exact"] == post["wand"]
+        if "wand8m_wand" in results:
+            results["compacted_vs_fresh_ratio"] = round(
+                results["wand8m_compacted_wand"] / results["wand8m_wand"], 2
+            )
 
     spark.stop()
 

@@ -87,7 +87,11 @@ def _range_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 def _merge_ranges(lo: np.ndarray, hi: np.ndarray):
     """Vectorized disjoint merge of inclusive [lo, hi] ranges ->
-    (merged_lo, merged_hi) sorted arrays (adjacent ranges coalesce)."""
+    (merged_lo, merged_hi) sorted arrays (adjacent ranges coalesce).
+    Empty input -> empty output (the boolean-index construction below
+    would raise on a 0-length array)."""
+    if lo.size == 0:
+        return lo.astype(np.int64), hi.astype(np.int64)
     o = np.argsort(lo, kind="stable")
     lo_s, hi_s = lo[o], hi[o]
     cm = np.maximum.accumulate(hi_s)
@@ -1383,6 +1387,11 @@ class PackedIndex:
     # ride the rare term's tf payload with the metadata collect (for the
     # job-free driver θ) only while it stays driver-sized (~2 bytes/row)
     DRIVER_THETA_MAX_DF = 200_000
+    # distributed WAND: survivor sets up to this size collect precisely
+    # (exact candidate ranges + block_seq pushdown); above it, per-salt
+    # envelopes + sparse singletons (class attr so tests can force the
+    # envelope branch at toy scale)
+    DIST_SURV_COLLECT_MAX = 100_000
 
     def _wand_topk(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         """Block-max WAND with driver-side planning when the query's
@@ -2172,12 +2181,21 @@ class PackedIndex:
         if dcache is None:
             dcache = self._dist_meta_cache = {}
         blocks_meta = dcache.get(ckey)
-        if blocks_meta is None:
+        if blocks_meta is not None:
+            dcache[ckey] = dcache.pop(ckey)  # LRU touch (move-to-end)
+        else:
             blocks_meta = (
                 self._blocks_for(tids).select(*meta_cols)
                 .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
                 .cache()
             )
+            # a PackedIndex is a snapshot (its generation never moves),
+            # but drop any stale-generation stragglers defensively, then
+            # LRU-evict overflow — evicted relations unpersist so the
+            # bound holds in executor memory, not just in entry count
+            gen_now = int(self.meta.get("generation", 0))
+            for k_ in [k_ for k_ in dcache if k_[-1] != gen_now]:
+                dcache.pop(k_).unpersist()
             while len(dcache) >= 4:
                 dcache.pop(next(iter(dcache))).unpersist()
             dcache[ckey] = blocks_meta
@@ -2342,7 +2360,7 @@ class PackedIndex:
             # one term -> doc-disjoint blocks -> pruned blocks never
             # participate in the exact rescore (see driver-planned path)
             scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
-        elif n_surv <= 100_000:
+        elif n_surv <= self.DIST_SURV_COLLECT_MAX:
             # survivor set is driver-sized: ONE collect gives ranges,
             # keys and flags, and a second bounded collect gives the
             # candidate blocks — everything else (interval merge,
@@ -2371,9 +2389,21 @@ class PackedIndex:
                     d = sel["doc_id"].to_numpy(np.int64)
                     lo_parts.append(d)
                     hi_parts.append(d)
-            r_lo, r_hi = _merge_ranges(
-                np.concatenate(lo_parts), np.concatenate(hi_parts)
+            lo_all = (
+                np.concatenate(lo_parts) if lo_parts
+                else np.empty(0, np.int64)
             )
+            if lo_all.size == 0:
+                # all survivors sparse with no live docs (stale-gen
+                # artifact): fall through to the always-sound exact pass
+                surviving.unpersist()
+                scored = self._score_decoded(
+                    self.decode_postings(tids), qinfo, k1, b
+                )
+                return scored.orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                ).limit(k)
+            r_lo, r_hi = _merge_ranges(lo_all, np.concatenate(hi_parts))
             if r_lo.size > 256:
                 dr = [(int(r_lo[0]), int(r_hi[-1]))]
             else:
@@ -2450,28 +2480,60 @@ class PackedIndex:
             )
         else:
             # survivor set too large to collect precisely: per-salt
-            # envelopes (salts partition the doc-id space, so these are
-            # disjoint and the count is bounded by n_salts), surviving
-            # keys as a (possibly broadcast) flag relation, and a fully
-            # distributed rescore
+            # envelopes for the DENSE survivors (salts partition the
+            # doc-id space, so these are disjoint and the count is
+            # bounded by n_salts) UNIONED with the live doc ids of
+            # surviving SPARSE blocks as singleton ranges — a top-k doc
+            # whose score clears θ only through a sparse survivor may
+            # sit in a salt with no dense survivor, and the envelopes
+            # alone would filter it out of the doc_dict join (silently
+            # wrong top-k).  The sparse side is driver-sized by
+            # construction: sparse terms hold few blocks and their
+            # postings (sp_pdf) are already decoded on the driver.
+            # Surviving keys ride as a (possibly broadcast) flag
+            # relation into a fully distributed rescore.
+            dense_surv = (
+                surviving.filter(~F.col("term_id").isin(list(sparse_set)))
+                if sparse_set
+                else surviving
+            )
             ivp = self._topandas_arrow(
-                (
-                    surviving.filter(
-                        ~F.col("term_id").isin(list(sparse_set))
-                    )
-                    if sparse_set
-                    else surviving
-                )
-                .groupBy("salt")
-                .agg(
+                dense_surv.groupBy("salt").agg(
                     F.min("min_doc").alias("min_doc"),
                     F.max("max_doc").alias("max_doc"),
                 )
             )
-            r_lo, r_hi = _merge_ranges(
-                ivp["min_doc"].to_numpy(np.int64),
-                ivp["max_doc"].to_numpy(np.int64),
-            )
+            lo_parts = [ivp["min_doc"].to_numpy(np.int64)]
+            hi_parts = [ivp["max_doc"].to_numpy(np.int64)]
+            if sparse_set:
+                ssk = self._topandas_arrow(
+                    surviving.filter(
+                        F.col("term_id").isin(list(sparse_set))
+                    ).select("term_id", "salt", "min_doc", "max_doc")
+                )
+                for i in range(len(ssk)):
+                    sel = sp_pdf[
+                        (sp_pdf["term_id"] == int(ssk["term_id"].iloc[i]))
+                        & (sp_pdf["salt"] == int(ssk["salt"].iloc[i]))
+                        & (sp_pdf["doc_id"] >= int(ssk["min_doc"].iloc[i]))
+                        & (sp_pdf["doc_id"] <= int(ssk["max_doc"].iloc[i]))
+                    ]
+                    d = sel["doc_id"].to_numpy(np.int64)
+                    lo_parts.append(d)
+                    hi_parts.append(d)
+            lo_all = np.concatenate(lo_parts)
+            if lo_all.size == 0:
+                # every survivor is a sparse block with no live docs
+                # (stale-generation artifact) — the plain exact pass is
+                # always sound, never guess at an empty result
+                surviving.unpersist()
+                scored = self._score_decoded(
+                    self.decode_postings(tids), qinfo, k1, b
+                )
+                return scored.orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                ).limit(k)
+            r_lo, r_hi = _merge_ranges(lo_all, np.concatenate(hi_parts))
             if r_lo.size > 256:
                 dr = [(int(r_lo[0]), int(r_hi[-1]))]
             else:
@@ -2489,9 +2551,10 @@ class PackedIndex:
         rows = (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
-        # the result is k rows — materializing it here lets the metadata
-        # cache be released immediately instead of accreting one cached
-        # relation per head-term query over a long-lived serving session
+        # the result is k rows — materializing it here lets `surviving`
+        # be released immediately; the block-metadata relation stays
+        # persisted in the bounded (4-entry LRU) _dist_meta_cache for
+        # reuse by later queries in a serving session
         surviving.unpersist()
         return self.spark.createDataFrame(
             [(r["doc_id"], r["score"], r["doc_len"]) for r in rows],
