@@ -47,6 +47,16 @@ class EngineConfig:
     # build_index raises n_salts until total posting rows / n_salts
     # fits (~8M entries ~ a few hundred MB of agg buffer)
     pack_salt_rows: int = 8_000_000
+    # parquet row-group target for the postings files.  Files are sorted
+    # by (term_id, block_seq), so bounded row groups turn the per-group
+    # term_id min/max stats into a coarse TERM INDEX: a rare term's
+    # blocks live in one ~256 KB group per salt file, which both the
+    # executor scans (row-group pruning on term_id predicates) and the
+    # serving tier's driver-side pyarrow point reader exploit — a
+    # cache-miss postings fetch reads a few hundred KB instead of the
+    # whole salt file.  The parquet default (128 MB) would leave one
+    # group per salt at small/medium scale and nothing prunable.
+    pq_rowgroup_bytes: int = 256 * 1024
 
     def __post_init__(self) -> None:
         if self.dtype not in _SUPPORTED_DTYPES:

@@ -560,6 +560,9 @@ def _build_index_body(
     writer = (
         packed.sortWithinPartitions("term_id", "block_seq")
         .write.partitionBy("salt")
+        # bounded row groups over the term_id-sorted layout = a coarse
+        # term index in the parquet stats (see EngineConfig.pq_rowgroup_bytes)
+        .option("parquet.block.size", str(int(config.pq_rowgroup_bytes)))
     )
     if resume and done_salts:
         writer.mode("append").parquet(f"{out_dir}/postings")

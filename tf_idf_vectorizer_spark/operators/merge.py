@@ -158,7 +158,9 @@ def merge_indexes(
         packed = packed.repartition(4 * n_salts, "salt")
     packed.sortWithinPartitions(
         "term_id", "block_seq"
-    ).write.partitionBy("salt").mode("overwrite").parquet(f"{out_dir}/postings")
+    ).write.partitionBy("salt").option(
+        "parquet.block.size", str(int(config.pq_rowgroup_bytes))
+    ).mode("overwrite").parquet(f"{out_dir}/postings")
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     doc_dict.coalesce(max(1, shuffle_parts // 4)).write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"

@@ -133,11 +133,13 @@ class ExactSearcher:
     def _query_table(self, terms: Counter) -> DataFrame:
         """(term, qtf) joined to idf — unknown terms drop out here."""
         # query tf goes through the same quantize chain as docs
+        from tf_idf_vectorizer_spark.query.packed import _arrow_df
+
         rows = [
             (t, int(self.config.roundtrip_tf([c])[0]))
             for t, c in sorted(terms.items())
         ]
-        qdf = self.spark.createDataFrame(rows, "term string, qtf long")
+        qdf = _arrow_df(self.spark, rows, "term string, qtf long")
         return F.broadcast(qdf.join(self.idf, "term"))
 
     # --- scorers ---------------------------------------------------------

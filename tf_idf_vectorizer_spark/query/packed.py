@@ -43,8 +43,10 @@ lower scores; 0 stays a valid upper bound).
 
 from __future__ import annotations
 
+import glob
 import json
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -56,6 +58,20 @@ from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.operators.codec import decode_varint
 
 _DECODE_SCHEMA = "term_id long, doc_id long, tf long, gen int"
+
+
+def _arrow_df(spark: SparkSession, data, schema: str) -> DataFrame:
+    """Small local relation via pandas+Arrow.  createDataFrame on a
+    Python row list is backed by a parallelized RDD: its collect() runs
+    a ~0.35 s Spark job and broadcasting it adds a stage; the Arrow
+    path plans as a literal LocalRelation — collect ~10 ms, broadcast
+    folded at plan time (measured, local[32]).  Every k-row result and
+    every per-query side table (term idf maps, seed keys, credits) goes
+    through here.  ``data``: row list or prebuilt pandas frame."""
+    if not isinstance(data, pd.DataFrame):
+        names = [c.strip().split()[0] for c in schema.split(",")]
+        data = pd.DataFrame(list(data), columns=names)
+    return spark.createDataFrame(data, schema)
 
 
 def _merge_intervals(ivs: list) -> list:
@@ -224,6 +240,7 @@ class PackedIndex:
             t: table_path(index_dir, self.meta, t)
             for t in ("term_dict", "doc_dict", "postings")
         }
+        self._table_paths = paths  # the serving point reader needs them
         for p in paths.values():
             if recover_dir(p):
                 # a recovery changed what lives under the path: drop any
@@ -453,7 +470,9 @@ class PackedIndex:
         requested ids are decoded (vectorized searchsorted check)."""
         ids = np.sort(np.array(sorted(set(doc_ids)), dtype=np.int64))
         if ids.size == 0:
-            return self.spark.createDataFrame([], "doc_id long, term string, tf long")
+            return _arrow_df(
+                self.spark, [], "doc_id long, term string, tf long"
+            )
         bc = self.spark.sparkContext.broadcast(ids)
         hit = self.blocks_overlapping_ids(self._postings(), bc)
 
@@ -530,7 +549,8 @@ class PackedIndex:
         config's quantize/denorm chain ran once at pack time, so every
         dtype (incl. the reference's default f16, mod.rs:50) matches
         ExactSearcher here."""
-        qdf = self.spark.createDataFrame(
+        qdf = _arrow_df(
+            self.spark,
             [(r["term_id"], float(r["idf"])) for r in qinfo],
             "term_id long, idf double",
         )
@@ -720,11 +740,140 @@ class PackedIndex:
                 size -= cache.pop(_k)[0].size
         return out
 
+    # serving point reader caps: bytes one driver-side pyarrow fetch may
+    # touch (beyond it the distributed scan is the right tool) and the
+    # number of salt files worth stat-ing driver-side (a 500k-salt
+    # cluster index is executor territory, not a serving-tier pin)
+    PQ_POINT_READ_MAX_BYTES = 64 * 1024 * 1024
+    PQ_POINT_READ_MAX_FILES = 4096
+
+    def _pq_files(self):
+        """Postings parquet files + per-file row-group term_id stats for
+        the driver point reader, or None when unavailable (non-local
+        path, Iceberg-served, pyarrow missing, no stats).  The postings
+        files are sorted by (term_id, block_seq) and written with
+        bounded row groups (EngineConfig.pq_rowgroup_bytes), so the
+        per-group min/max term_id stats are a coarse term index: a
+        cache-miss fetch of a rare term reads ~one group per salt file
+        (a few hundred KB) with NO Spark job — the executor scan path
+        stays the fallback and the only tool past the byte cap."""
+        if hasattr(self, "_pq_meta"):
+            return self._pq_meta
+        self._pq_meta = None
+        path = getattr(self, "_table_paths", {}).get("postings")
+        if path is None:
+            return None
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        if not path.startswith("/") or not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        files = sorted(glob.glob(f"{path}/salt=*/*.parquet"))
+        if not files or len(files) > self.PQ_POINT_READ_MAX_FILES:
+            return None
+        metas = []
+        for f in files:
+            try:
+                pf = pq.ParquetFile(f)
+            except Exception:
+                return None
+            md = pf.metadata
+            if md.num_row_groups == 0:
+                continue
+            rg0 = md.row_group(0)
+            names = {
+                rg0.column(j).path_in_schema: j for j in range(rg0.num_columns)
+            }
+            if "term_id" not in names:
+                return None
+            ci = names["term_id"]
+            lo, hi, nb = [], [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo.append(st.min)
+                hi.append(st.max)
+                nb.append(md.row_group(i).total_byte_size)
+            metas.append(
+                (
+                    pf,
+                    np.array(lo, dtype=np.int64),
+                    np.array(hi, dtype=np.int64),
+                    np.array(nb, dtype=np.int64),
+                )
+            )
+        self._pq_meta = metas
+        return metas
+
+    def _pq_point_fetch(self, tids: list[int]) -> pd.DataFrame | None:
+        """Driver-side point read of the given terms' posting blocks
+        via pyarrow row-group pruning; None -> caller falls back to the
+        executor scan.  Applies the committed-generation watermark
+        (orphan rows of a crashed batch stay invisible, exactly like
+        the Spark relation's filter)."""
+        metas = self._pq_files()
+        if metas is None:
+            return None
+        ts = np.array(sorted({int(t) for t in tids}), dtype=np.int64)
+        cols = ["term_id", "n", "doc_deltas", "tfs", "gen"]
+        sel, total = [], 0
+        for pf, lo, hi, nb in metas:
+            # groups are term-sorted and disjoint: group i holds one of
+            # our terms iff the smallest query term >= lo_i is <= hi_i
+            pos = np.searchsorted(ts, lo)
+            ok = (pos < ts.size) & (ts[np.minimum(pos, ts.size - 1)] <= hi)
+            gs = np.flatnonzero(ok)
+            if gs.size:
+                total += int(nb[gs].sum())
+                sel.append((pf, gs.tolist()))
+        if total > self.PQ_POINT_READ_MAX_BYTES:
+            return None
+        if not sel:
+            return pd.DataFrame(columns=cols)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # filter to the matching rows IN ARROW before any pandas
+        # conversion: to_pandas materializes a Python bytes object per
+        # payload row, and a row group holds thousands of rows for the
+        # ~dozen that match (measured 0.11 s/query in to_pandas alone)
+        tset = pa.array(ts, pa.int64())
+        wm = int(self.meta.get("generation", 0))
+        parts = []
+        for pf, gs in sel:
+            tbl = pf.read_row_groups(gs, columns=cols)
+            mask = pc.and_(
+                pc.is_in(tbl.column("term_id"), value_set=tset),
+                pc.less_equal(tbl.column("gen"), wm),
+            )
+            parts.append(tbl.filter(mask))
+        # files written by different jobs (merge inputs, incremental
+        # appends) can disagree on nullability flags — normalize to the
+        # first part's types before concat; any real type clash falls
+        # back to the executor scan rather than failing the query
+        try:
+            if len(parts) > 1:
+                target = pa.schema(
+                    [pa.field(f.name, f.type) for f in parts[0].schema]
+                )
+                parts = [p.cast(target) for p in parts]
+            return pa.concat_tables(parts).to_pandas()
+        except pa.ArrowInvalid:
+            return None
+
     def _decode_live_driver_fetch(self, tids: list[int]) -> dict[int, tuple]:
         sids, dls, gens = self._doc_stats_np()
-        pdf = self._topandas_arrow(
-            self._blocks_for(tids).select("term_id", "n", "doc_deltas", "tfs", "gen")
-        )
+        pdf = self._pq_point_fetch(tids)
+        if pdf is None:
+            pdf = self._topandas_arrow(
+                self._blocks_for(tids).select(
+                    "term_id", "n", "doc_deltas", "tfs", "gen"
+                )
+            )
         if not len(pdf):
             return {}
         n, dids, tf_i = _decode_batch(pdf)
@@ -785,7 +934,8 @@ class PackedIndex:
         return self._topk_rows(uids, sums, udl, k)
 
     def _bm25_driver(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
-        return self.spark.createDataFrame(
+        return _arrow_df(
+            self.spark,
             self._bm25_driver_rows(qinfo, k, k1, b),
             "doc_id long, score double, doc_len long",
         )
@@ -866,8 +1016,8 @@ class PackedIndex:
         b = self.config.b if b is None else b
         qinfo = self._query_info(terms)
         if not qinfo or self.doc_num == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
         tids = [r["term_id"] for r in qinfo]
         if mode == "auto":
@@ -901,8 +1051,8 @@ class PackedIndex:
             return self.bm25_topk(list(terms.keys()), k=k, k1=k1, b=b)
         qinfo = self._query_info(list(terms.keys()))
         if not qinfo or self.doc_num == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
         tids = [r["term_id"] for r in qinfo]
         decoded = self.decode_postings(tids)
@@ -917,7 +1067,8 @@ class PackedIndex:
             r["term_id"]: float(self.config.roundtrip_tf([terms[r["term"]]])[0])
             for r in qinfo
         }
-        qdf = self.spark.createDataFrame(
+        qdf = _arrow_df(
+            self.spark,
             [(tid, eff[tid], float(r["idf"])) for tid, r in zip(tids, qinfo)],
             "term_id long, qtf double, idf double",
         )
@@ -1013,8 +1164,10 @@ class PackedIndex:
             if t in qinfo
         ]
         if not pairs or self.doc_num == 0:
-            return self.spark.createDataFrame(
-                [], "query_id long, doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark,
+                [],
+                "query_id long, doc_id long, score double, doc_len long",
             )
         if mode == "auto":
             volume = sum(r["df"] for r in qinfo.values())
@@ -1023,8 +1176,8 @@ class PackedIndex:
                 and self._doc_stats_np() is not None
             ):
                 return self._bm25_batch_driver(queries, qinfo, k, k1, b)
-        qdf = self.spark.createDataFrame(
-            pairs, "query_id long, term_id long, idf double"
+        qdf = _arrow_df(
+            self.spark, pairs, "query_id long, term_id long, idf double"
         )
         tids = sorted({p[1] for p in pairs})
         decoded = self.decode_postings(tids)
@@ -1087,8 +1240,10 @@ class PackedIndex:
                 (int(qid), d, s, dl_)
                 for d, s, dl_ in self._topk_rows(uids, sums, udl, k)
             )
-        return self.spark.createDataFrame(
-            out_rows, "query_id long, doc_id long, score double, doc_len long"
+        return _arrow_df(
+            self.spark,
+            out_rows,
+            "query_id long, doc_id long, score double, doc_len long",
         )
 
     # ---- in-memory serving: full query surface -----------------------
@@ -1295,15 +1450,17 @@ class PackedIndex:
         qinfo = self._query_info(terms)
         cand = self._eval_ast(query)
         if self.doc_num == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
         if qinfo:
             scored = self._score_decoded(
                 self.decode_postings([r["term_id"] for r in qinfo]), qinfo, k1, b
             )
         else:
-            scored = self.spark.createDataFrame([], "doc_id long, score double, doc_len long")
+            scored = _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
+            )
         hits = (
             cand.join(scored.select("doc_id", "score"), "doc_id", "left")
             .fillna({"score": 0.0})
@@ -1495,8 +1652,8 @@ class PackedIndex:
             return self._wand_topk_distributed(qinfo, k, k1, b)
         n_blocks = len(mp)
         if n_blocks == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
         bterm = mp["term_id"].to_numpy(np.int64)
         bsalt = mp["salt"].to_numpy(np.int32)
@@ -1644,8 +1801,8 @@ class PackedIndex:
             keep = np.ones(n_blocks, dtype=bool)
         n_surv = int(keep.sum())
         if n_surv == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
 
         # ---- job 2: fused candidate + exact rescore ---------------------
@@ -1700,8 +1857,8 @@ class PackedIndex:
                 bterm[part], bsalt[part], bseq[part], bgen[part], keep[part],
                 idf_map, k1, b, k,
             )
-            return self.spark.createDataFrame(
-                rows, "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, rows, "doc_id long, score double, doc_len long"
             )
         r_lo, r_hi = _merge_ranges(blo[part], bhi[part])
         if r_lo.size > 64:
@@ -1871,7 +2028,8 @@ class PackedIndex:
             decode_flagged,
             schema="term_id long, doc_id long, tf long, gen int, is_target boolean",
         )
-        qdf = self.spark.createDataFrame(
+        qdf = _arrow_df(
+            self.spark,
             [(r["term_id"], float(r["idf"])) for r in qinfo],
             "term_id long, idf double",
         )
@@ -2253,8 +2411,10 @@ class PackedIndex:
                 c = (F.col("min_doc") <= hi) & (F.col("max_doc") >= lo)
                 overlap_cond = c if overlap_cond is None else (overlap_cond | c)
             seed_kdf = F.broadcast(
-                self.spark.createDataFrame(
-                    [k_ + (True,) for k_ in sorted(seed_keys)], self._KDF_SCHEMA
+                _arrow_df(
+                    self.spark,
+                    [k_ + (True,) for k_ in sorted(seed_keys)],
+                    self._KDF_SCHEMA,
                 )
             )
             theta_kdf = (
@@ -2328,8 +2488,8 @@ class PackedIndex:
         n_surv = surviving.count()
         if n_surv == 0:
             surviving.unpersist()
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double, doc_len long"
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
             )
         n_blocks = blocks_meta.count()  # cached relation: metadata-cheap
         if n_surv >= 0.9 * n_blocks:
@@ -2468,8 +2628,8 @@ class PackedIndex:
                     flags, idf_map, k1, b, k,
                 )
                 surviving.unpersist()
-                return self.spark.createDataFrame(
-                    rows, "doc_id long, score double, doc_len long"
+                return _arrow_df(
+                    self.spark, rows, "doc_id long, score double, doc_len long"
                 )
             scored = self._score_flagged_arrays(
                 cand["term_id"].to_numpy(np.int64),
@@ -2556,7 +2716,8 @@ class PackedIndex:
         # persisted in the bounded (4-entry LRU) _dist_meta_cache for
         # reuse by later queries in a serving session
         surviving.unpersist()
-        return self.spark.createDataFrame(
+        return _arrow_df(
+            self.spark,
             [(r["doc_id"], r["score"], r["doc_len"]) for r in rows],
             "doc_id long, score double, doc_len long",
         )

@@ -373,7 +373,9 @@ class IncrementalIndex:
                 packed = packed.repartition(4 * n_salts, "salt")
             packed.sortWithinPartitions(
                 "term_id", "block_seq"
-            ).write.partitionBy("salt").mode("append").parquet(postings_path)
+            ).write.partitionBy("salt").option(
+                "parquet.block.size", str(int(self.config.pq_rowgroup_bytes))
+            ).mode("append").parquet(postings_path)
             spark.catalog.refreshByPath(postings_path)
 
             # per-batch lineage (north rule: per-partition lineage +
@@ -631,7 +633,9 @@ class IncrementalIndex:
             packed = packed.repartition(4 * n_salts, "salt")
         packed.sortWithinPartitions(
             "term_id", "block_seq"
-        ).write.partitionBy("salt").mode("overwrite").parquet(
+        ).write.partitionBy("salt").option(
+            "parquet.block.size", str(int(self.config.pq_rowgroup_bytes))
+        ).mode("overwrite").parquet(
             f"{self.dir}/{p_name}"
         )
         dd_cols = idx.doc_dict.columns
