@@ -264,6 +264,30 @@ def test_all_scoring_paths_bit_identical(spark, tmp_path):
         for doc, score, _dl in idx.bm25_topk_rows(terms, k=k)
     )
     assert exact == wand == dist == drv
+    # the string-keyed exact surface sits inside the SAME perimeter
+    # (r5: canonical_fold keyed on xxhash64(term) == packed term_id);
+    # before, its plain F.sum folded in physical row order and could
+    # split k-th ties differently from the packed paths (VERDICT r4 #1)
+    from tf_idf_vectorizer_spark.query.exact import ExactSearcher
+
+    es = ExactSearcher(
+        spark,
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        config=CFG,
+    )
+    srch = rows_of(es.similarity("bm25", terms, k=k))
+    assert srch == exact
+    # and it agrees with itself across partitionings (the original
+    # failure mode: self-divergence under different physical plans)
+    srch2 = rows_of(
+        ExactSearcher(
+            spark,
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .repartition(7),
+            config=CFG,
+        ).similarity("bm25", terms, k=k)
+    )
+    assert srch2 == srch
 
 
 # ---------------------------------------------------------------------------

@@ -224,13 +224,38 @@ class ExactSearcher:
         else:
             fq = filter_query or Query.from_terms_or(list(terms.keys()))
             cand = self.candidates(fq)
-            joined = self.tf.join(qtab, "term")
+            # canonical fold key: xxhash64(term) — the SAME value the
+            # packed build assigns as term_id (index_build.py:419), so
+            # the exact surface folds per-doc partials in the identical
+            # ascending order as every PackedIndex path and all plans
+            # agree bit-for-bit (VERDICT r4 finding #1; the plain F.sum
+            # here folded in physical row order, so the exact surface
+            # could split k-th-score ties differently from itself across
+            # partitionings).  Hashing the raw query terms (one
+            # LocalRelation collect, no shuffle) may include terms the
+            # idf join drops — harmless: their conditional sums are NULL
+            # and coalesce to 0.0 inside the fold.
+            from tf_idf_vectorizer_spark.query.packed import _arrow_df, canonical_fold
+
+            tids = [
+                r[0]
+                for r in _arrow_df(
+                    self.spark, [(t,) for t in sorted(terms)], "term string"
+                )
+                .select(F.xxhash64("term"))
+                .collect()
+            ]
+            joined = self.tf.join(qtab, "term").withColumn(
+                "term_id", F.xxhash64("term")
+            )
             if algo == "bm25":
                 joined = joined.join(
                     self.doc_stats.select(self.key, "doc_len"), self.key
                 )
             partial = self._score_partials(algo, qtab, k1, b)
-            per_doc = joined.groupBy(self.key).agg(F.sum(partial).alias("raw"))
+            per_doc = joined.groupBy(self.key).agg(
+                canonical_fold(partial, tids).alias("raw")
+            )
             scored = cand.join(per_doc, self.key, "left").fillna({"raw": 0.0})
             if algo == "cosine":
                 norm_q = self._query_norm(terms)

@@ -158,6 +158,48 @@ def _bm25_partial(ln_idf, tf, dl, k1: float, b: float, avg_len: float):
     return ln_idf * (tf * (k1 + 1.0)) / denom
 
 
+def canonical_fold(partial, term_ids: list[int], key_col: str = "term_id"):
+    """Deterministic per-doc score aggregate: fold the per-term score
+    partials in ASCENDING term_id order.  IEEE addition is commutative
+    but not associative, and a plain ``F.sum`` folds in physical row
+    order — which varies per doc with partitioning, so two docs with
+    IDENTICAL inputs could differ in the last ulp and split a tie
+    differently between two plans (observed: the distributed WAND vs
+    exact paths at 8M entries disagreed on the k-th-score tie set).
+    The TF relation holds exactly ONE row per (term, doc), so each
+    per-term conditional sum is order-free and the explicit
+    left-to-right fold is bit-deterministic — the reference's
+    single-threaded accumulation order (scoring.rs:428), restated.
+    For very wide queries the conditional-agg tree would bloat codegen;
+    fall back to a sort-then-fold over collected (term_id, partial)
+    structs, same fold order (bit-equal: x+0.0 == 0.0+x == x for every
+    reachable partial, so missing-term coalesce and the 0.0 seed agree).
+
+    Shared by every scoring surface — the PackedIndex distributed paths
+    AND ExactSearcher (which keys on ``xxhash64(term)``, the same value
+    the build assigns as term_id, index_build.py) — so one perimeter
+    covers all plans (VERDICT r4 finding #1)."""
+    tids = sorted(int(t) for t in term_ids)
+    if not tids:
+        # no query terms -> the joined relation is empty; keep an
+        # aggregate expression so groupBy().agg() stays well-formed
+        return F.coalesce(F.sum(partial), F.lit(0.0))
+    if len(tids) <= 64:
+        parts = [
+            F.sum(F.when(F.col(key_col) == t, partial)) for t in tids
+        ]
+        score = F.coalesce(parts[0], F.lit(0.0))
+        for p in parts[1:]:
+            score = score + F.coalesce(p, F.lit(0.0))
+        return score
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(key_col).alias("t"), partial.alias("p")))
+    )
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x["p"]
+    )
+
+
 def _decode_batch(pdf: pd.DataFrame):
     """Vectorized multi-block decode of one Arrow batch: varint streams
     are self-delimiting, so the concatenated payloads decode in ONE
@@ -506,35 +548,10 @@ class PackedIndex:
     # ------------------------------------------------------------------
     @staticmethod
     def _det_score(partial, qinfo: list[dict]):
-        """Deterministic per-doc score aggregate: fold the per-term BM25
-        partials in ASCENDING term_id order.  IEEE addition is
-        commutative but not associative, and a plain ``F.sum`` folds in
-        physical row order — which varies per doc with partitioning, so
-        two docs with IDENTICAL inputs could differ in the last ulp and
-        split a tie differently between two plans (observed: the
-        distributed WAND vs exact paths at 8M entries disagreed on the
-        k-th-score tie set).  Postings hold exactly ONE row per
-        (term, doc), so each per-term conditional sum is order-free and
-        the explicit left-to-right fold is bit-deterministic — the
-        reference's single-threaded accumulation order (scoring.rs:428),
-        restated.  For very wide queries the conditional-agg tree would
-        bloat codegen; fall back to a sort-then-fold over collected
-        (term_id, partial) structs, same fold order."""
-        tids = sorted(int(r["term_id"]) for r in qinfo)
-        if len(tids) <= 64:
-            parts = [
-                F.sum(F.when(F.col("term_id") == t, partial)) for t in tids
-            ]
-            score = F.coalesce(parts[0], F.lit(0.0))
-            for p in parts[1:]:
-                score = score + F.coalesce(p, F.lit(0.0))
-            return score
-        arr = F.array_sort(
-            F.collect_list(F.struct(F.col("term_id").alias("t"), partial.alias("p")))
-        )
-        return F.aggregate(
-            arr, F.lit(0.0), lambda acc, x: acc + x["p"]
-        )
+        """Deterministic per-doc score aggregate — see ``canonical_fold``
+        (module level, shared with ExactSearcher so every scoring surface
+        sits inside one bit-determinism perimeter)."""
+        return canonical_fold(partial, [int(r["term_id"]) for r in qinfo])
 
     def _score_decoded(
         self,
@@ -783,26 +800,39 @@ class PackedIndex:
             md = pf.metadata
             if md.num_row_groups == 0:
                 continue
+            try:
+                salt = int(f.split("salt=")[-1].split("/")[0])
+            except ValueError:
+                return None
             rg0 = md.row_group(0)
             names = {
                 rg0.column(j).path_in_schema: j for j in range(rg0.num_columns)
             }
-            if "term_id" not in names:
+            if "term_id" not in names or "block_seq" not in names:
                 return None
-            ci = names["term_id"]
-            lo, hi, nb = [], [], []
+            ci, bi = names["term_id"], names["block_seq"]
+            lo, hi, blo, bhi, nb = [], [], [], [], []
             for i in range(md.num_row_groups):
                 st = md.row_group(i).column(ci).statistics
-                if st is None or not st.has_min_max:
+                bs = md.row_group(i).column(bi).statistics
+                if (
+                    st is None or not st.has_min_max
+                    or bs is None or not bs.has_min_max
+                ):
                     return None
                 lo.append(st.min)
                 hi.append(st.max)
+                blo.append(bs.min)
+                bhi.append(bs.max)
                 nb.append(md.row_group(i).total_byte_size)
             metas.append(
                 (
                     pf,
+                    salt,
                     np.array(lo, dtype=np.int64),
                     np.array(hi, dtype=np.int64),
+                    np.array(blo, dtype=np.int64),
+                    np.array(bhi, dtype=np.int64),
                     np.array(nb, dtype=np.int64),
                 )
             )
@@ -821,7 +851,7 @@ class PackedIndex:
         ts = np.array(sorted({int(t) for t in tids}), dtype=np.int64)
         cols = ["term_id", "n", "doc_deltas", "tfs", "gen"]
         sel, total = [], 0
-        for pf, lo, hi, nb in metas:
+        for pf, _salt, lo, hi, _blo, _bhi, nb in metas:
             # groups are term-sorted and disjoint: group i holds one of
             # our terms iff the smallest query term >= lo_i is <= hi_i
             pos = np.searchsorted(ts, lo)
@@ -855,6 +885,73 @@ class PackedIndex:
         # appends) can disagree on nullability flags — normalize to the
         # first part's types before concat; any real type clash falls
         # back to the executor scan rather than failing the query
+        try:
+            if len(parts) > 1:
+                target = pa.schema(
+                    [pa.field(f.name, f.type) for f in parts[0].schema]
+                )
+                parts = [p.cast(target) for p in parts]
+            return pa.concat_tables(parts).to_pandas()
+        except pa.ArrowInvalid:
+            return None
+
+    def _pq_point_fetch_keys(self, cand: pd.DataFrame) -> pd.DataFrame | None:
+        """Driver-side point read of an EXPLICIT candidate block-key set
+        (term_id, salt, block_seq, gen) — the WAND rescore's fetch.  The
+        generic term fetch above reads every block of a term; after
+        pruning, the candidates are a small block_seq range per
+        (term, salt), and the files are sorted by (term_id, block_seq),
+        so per-group (term_id, block_seq) min/max stats prune the read
+        down to the candidate row groups.  The exact key membership is
+        applied after conversion (candidate sets are a few thousand
+        rows).  Returns rows for a superset of the candidate keys —
+        the caller merges on the full key — or None (no local files /
+        byte cap exceeded) for the executor-scan fallback."""
+        metas = self._pq_files()
+        if metas is None or not len(cand):
+            return None
+        ct_all = cand["term_id"].to_numpy(np.int64)
+        cb_all = cand["block_seq"].to_numpy(np.int64)
+        cs_all = cand["salt"].to_numpy(np.int64)
+        ts = np.unique(ct_all)
+        cols = ["term_id", "block_seq", "n", "doc_deltas", "tfs", "gen"]
+        sel, total = [], 0
+        for pf, salt, lo, hi, blo, bhi, nb in metas:
+            m = cs_all == salt
+            if not m.any():
+                continue
+            ct, cb = ct_all[m], cb_all[m]
+            gs = [
+                i
+                for i in range(lo.size)
+                if (
+                    (ct >= lo[i]) & (ct <= hi[i])
+                    & (cb >= blo[i]) & (cb <= bhi[i])
+                ).any()
+            ]
+            if gs:
+                total += int(nb[gs].sum())
+                sel.append((pf, salt, gs))
+        if total > self.PQ_POINT_READ_MAX_BYTES:
+            return None
+        if not sel:
+            return pd.DataFrame(columns=cols + ["salt"])
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tset = pa.array(ts, pa.int64())
+        wm = int(self.meta.get("generation", 0))
+        parts = []
+        for pf, salt, gs in sel:
+            tbl = pf.read_row_groups(gs, columns=cols)
+            mask = pc.and_(
+                pc.is_in(tbl.column("term_id"), value_set=tset),
+                pc.less_equal(tbl.column("gen"), wm),
+            )
+            t = tbl.filter(mask)
+            parts.append(
+                t.append_column("salt", pa.array([salt] * len(t), pa.int64()))
+            )
         try:
             if len(parts) > 1:
                 target = pa.schema(
@@ -1888,29 +1985,42 @@ class PackedIndex:
         k: int,
     ) -> list[tuple]:
         """Driver-side exact rescore of a pruned block set: ONE Arrow
-        payload fetch (broadcast key join, no shuffle), numpy decode +
-        scoring against the pinned doc stats.  After pruning, the
-        candidate volume is tiny — a distributed rescore would spend
-        10-100x the candidate decode cost shuffling the doc_dict join;
-        this path exists so a pruned head-term query costs two jobs and
-        no shuffle at all.  Requires _doc_stats_np() (driver-sized
-        corpus stats), which the caller checks."""
+        payload fetch — a pyarrow row-group point read of the candidate
+        keys when the index is on a local filesystem (no Spark job at
+        all), else a broadcast key join collect (no shuffle) — then
+        numpy decode + scoring against the pinned doc stats.  After
+        pruning, the candidate volume is tiny — a distributed rescore
+        would spend 10-100x the candidate decode cost shuffling the
+        doc_dict join.  Requires _doc_stats_np() (driver-sized corpus
+        stats), which the caller checks."""
         kdf_pd = pd.DataFrame(
             {
                 "term_id": term.astype(np.int64),
-                "salt": salt.astype(np.int32),
-                "block_seq": bseq.astype(np.int32),
-                "gen": gen.astype(np.int32),
+                "salt": salt.astype(np.int64),
+                "block_seq": bseq.astype(np.int64),
+                "gen": gen.astype(np.int64),
                 "is_target": flags.astype(bool),
             }
         )
-        kdf = F.broadcast(self.spark.createDataFrame(kdf_pd))
-        tids = sorted(set(term.tolist()))
-        pdf = self._topandas_arrow(
-            self._blocks_for(tids)
-            .join(kdf, ["term_id", "salt", "block_seq", "gen"])
-            .select("term_id", "n", "doc_deltas", "tfs", "gen", "is_target")
-        )
+        pdf = self._pq_point_fetch_keys(kdf_pd)
+        if pdf is not None:
+            # exact key membership + survival flags in one merge (the
+            # point read returns a row-group-granular superset)
+            pdf = pdf.astype(
+                {"term_id": np.int64, "salt": np.int64,
+                 "block_seq": np.int64, "gen": np.int64}
+            ).merge(kdf_pd, on=["term_id", "salt", "block_seq", "gen"])
+        else:
+            kdf = F.broadcast(self.spark.createDataFrame(
+                kdf_pd.astype({"salt": np.int32, "block_seq": np.int32,
+                               "gen": np.int32})
+            ))
+            tids = sorted(set(term.tolist()))
+            pdf = self._topandas_arrow(
+                self._blocks_for(tids)
+                .join(kdf, ["term_id", "salt", "block_seq", "gen"])
+                .select("term_id", "n", "doc_deltas", "tfs", "gen", "is_target")
+            )
         if not len(pdf):
             return []
         sids, dls, gens = self._doc_stats_np()
@@ -2320,12 +2430,27 @@ class PackedIndex:
         is the is_target flag riding through the decode kernel; the
         "blocks overlapping the surviving candidate ranges" set is a
         salt-local interval join (salts are disjoint doc-id ranges)."""
+        import time as _time
+
+        _prev = _time.time()
+        _dbg = bool(os.environ.get("TFIDF_WAND_TIMING"))
+
+        def _mk(name: str) -> None:
+            # planning-chain stage timer, printed only when profiling
+            # (TFIDF_WAND_TIMING=1); production queries pay one time()
+            nonlocal _prev
+            now = _time.time()
+            if _dbg:
+                print(f"[wand-dist] {name}: {now - _prev:.3f}s", flush=True)
+            _prev = now
+
         tids = [r["term_id"] for r in qinfo]
         idf_map = {r["term_id"]: float(r["idf"]) for r in qinfo}
         tight = self._tight_bounds_ok(k1, b)
         nonneg = min(float(r["idf"]) for r in qinfo) > 1.0
         sparse_ids = self._sparse_query_terms(qinfo)
         sp_pdf = self._sparse_postings_np(sparse_ids, idf_map, k1, b)
+        _mk("sparse_fetch")
         key_cols = ["term_id", "salt", "block_seq", "gen"]
         meta_cols = key_cols + ["n", "min_doc", "max_doc", "max_tf", "min_dl"]
         if tight:
@@ -2338,25 +2463,28 @@ class PackedIndex:
         dcache = getattr(self, "_dist_meta_cache", None)
         if dcache is None:
             dcache = self._dist_meta_cache = {}
-        blocks_meta = dcache.get(ckey)
-        if blocks_meta is not None:
+        ent = dcache.get(ckey)
+        if ent is not None:
             dcache[ckey] = dcache.pop(ckey)  # LRU touch (move-to-end)
         else:
-            blocks_meta = (
+            ent = [
                 self._blocks_for(tids).select(*meta_cols)
                 .withColumn("ub", self._block_ub(idf_map, k1, b, tight))
-                .cache()
-            )
+                .cache(),
+                None,  # block count, filled by the first query
+            ]
             # a PackedIndex is a snapshot (its generation never moves),
             # but drop any stale-generation stragglers defensively, then
             # LRU-evict overflow — evicted relations unpersist so the
             # bound holds in executor memory, not just in entry count
             gen_now = int(self.meta.get("generation", 0))
             for k_ in [k_ for k_ in dcache if k_[-1] != gen_now]:
-                dcache.pop(k_).unpersist()
+                dcache.pop(k_)[0].unpersist()
             while len(dcache) >= 4:
-                dcache.pop(next(iter(dcache))).unpersist()
-            dcache[ckey] = blocks_meta
+                dcache.pop(next(iter(dcache)))[0].unpersist()
+            dcache[ckey] = ent
+        blocks_meta = ent[0]
+        _mk("meta_cache")
 
         theta = -math.inf
         # θ floors from sparse postings (job-free beyond the bounded
@@ -2388,6 +2516,7 @@ class PackedIndex:
             )
             if kth is not None:
                 theta = max(theta, float(kth))
+        _mk("theta_meta")
 
         # ---- pass 1 (fallback): θ from the rarest term's best blocks --
         # seed block METADATA is tiny (top few blocks of one term) and
@@ -2482,16 +2611,24 @@ class PackedIndex:
         # corpora with doc-id locality (crawl order) the global maxima
         # credit every block with the discriminative terms' full weight
         # and nothing prunes
+        _mk("credit_plan")
         surviving = self._seg_survivors(
             meta2, tids, sparse_set, key_cols, theta
         ).cache()
+        _mk("seg_summary")
         n_surv = surviving.count()
+        _mk("survivor_count")
         if n_surv == 0:
             surviving.unpersist()
             return _arrow_df(
                 self.spark, [], "doc_id long, score double, doc_len long"
             )
-        n_blocks = blocks_meta.count()  # cached relation: metadata-cheap
+        if ent[1] is None:
+            # count once per cached metadata relation (a PackedIndex is
+            # a snapshot; the relation is immutable while cached)
+            ent[1] = blocks_meta.count()
+        n_blocks = ent[1]
+        _mk("blocks_count")
         if n_surv >= 0.9 * n_blocks:
             # pruning removed (almost) nothing — the flag/join machinery
             # would only add overhead over the plain exact single pass,
@@ -2530,6 +2667,7 @@ class PackedIndex:
             sk = self._topandas_arrow(
                 surviving.select(*key_cols, "min_doc", "max_doc")
             )
+            _mk("survivor_collect")
             lo_parts, hi_parts = [], []
             sk_tid = sk["term_id"].to_numpy(np.int64)
             dense_mask = ~np.isin(sk_tid, list(sparse_set)) if sparse_set else (
@@ -2577,6 +2715,7 @@ class PackedIndex:
             cand = self._topandas_arrow(
                 blocks_meta.filter(ov).select(*key_cols, "n")
             )
+            _mk("candidate_collect")
             part_vol = int(cand["n"].sum())
             # The payload files are sorted by (term_id, block_seq), so a
             # min_doc/max_doc predicate cannot prune row groups — but
@@ -2627,6 +2766,7 @@ class PackedIndex:
                     cand["gen"].to_numpy(np.int32),
                     flags, idf_map, k1, b, k,
                 )
+                _mk("rescore_driver")
                 surviving.unpersist()
                 return _arrow_df(
                     self.spark, rows, "doc_id long, score double, doc_len long"
@@ -2711,6 +2851,7 @@ class PackedIndex:
         rows = (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
+        _mk("rescore_distributed")
         # the result is k rows — materializing it here lets `surviving`
         # be released immediately; the block-metadata relation stays
         # persisted in the bounded (4-entry LRU) _dist_meta_cache for
