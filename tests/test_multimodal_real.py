@@ -115,3 +115,52 @@ def test_extract_features_real_kernel_rejects_audio(spark):
     )
     with pytest.raises(Exception, match="codec"):
         extract_features(df, fake=False).collect()
+
+
+def test_decoder_plugin_seam(spark):
+    """A third-party decoder injects per-format through
+    register_image_decoder without touching the pipeline (VERDICT r4
+    next-round #7): a fake 'JPEG' decoder claims the JPEG magic bytes,
+    extract_features(fake=False) snapshots it into the task closure,
+    and after unregistering the format raises again."""
+    from tf_idf_vectorizer_spark.pipeline.multimodal import (
+        register_image_decoder,
+    )
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"fake-jpeg-payload"
+    decoded = RNG.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+
+    def sniff(data: bytes) -> bool:
+        return data[:3] == b"\xff\xd8\xff"
+
+    # the plugin must be importable on executors for pickling; a
+    # module-level-free lambda closing over `decoded` pickles fine
+    # through cloudpickle (Spark's closure serializer)
+    unregister = register_image_decoder(sniff, lambda data: decoded)
+    try:
+        # driver-side: decode_image falls through built-ins to the plugin
+        assert np.array_equal(decode_image(jpeg), decoded)
+        df = spark.createDataFrame(
+            [(0, bytearray(jpeg), "image", 0, 0, 0),
+             (1, bytearray(_ppm_bytes(RGB)), "image", 0, 0, 0)],
+            "doc_id long, media binary, media_type string, width int, "
+            "height int, duration_ms int",
+        )
+        rows = {
+            r["doc_id"]: np.array(r["features"], dtype=np.float32)
+            for r in extract_features(df, fake=False).collect()
+        }
+        assert np.allclose(rows[0], image_features(decoded), atol=1e-6)
+        assert np.allclose(rows[1], image_features(decode_image(_ppm_bytes(RGB))), atol=1e-6)
+    finally:
+        unregister()
+    with pytest.raises(NotImplementedError):
+        decode_image(jpeg)
+    # a plan built AFTER unregistering no longer sees the plugin
+    df2 = spark.createDataFrame(
+        [(0, bytearray(jpeg), "image", 0, 0, 0)],
+        "doc_id long, media binary, media_type string, width int, "
+        "height int, duration_ms int",
+    )
+    with pytest.raises(Exception, match="unsupported image format"):
+        extract_features(df2, fake=False).collect()

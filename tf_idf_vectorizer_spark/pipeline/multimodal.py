@@ -81,7 +81,33 @@ def _ppm_header(data: bytes):
     return w, h, maxval, i
 
 
-def decode_image(data: bytes) -> "np.ndarray":
+_IMAGE_DECODERS: list[tuple] = []
+
+
+def register_image_decoder(sniff, decode):
+    """Plugin seam for formats the built-in pure-numpy path cannot
+    handle (JPEG/PNG need a codec library this container lacks; a
+    deployment that ships one injects it HERE without touching the
+    pipeline).  ``sniff(data) -> bool`` claims the format from magic
+    bytes; ``decode(data) -> np.ndarray`` returns (h, w[, 3]) uint8
+    pixels.  Registered decoders are consulted after the built-ins, and
+    :func:`extract_features` snapshots the registry into its
+    mapInPandas closure at PLAN time — so plugins are pickled and
+    shipped to executors with the task (a bare module global would be
+    driver-only on a real cluster).  Returns an unregister callable."""
+    entry = (sniff, decode)
+    _IMAGE_DECODERS.append(entry)
+
+    def _unregister() -> None:
+        try:
+            _IMAGE_DECODERS.remove(entry)
+        except ValueError:
+            pass
+
+    return _unregister
+
+
+def decode_image(data: bytes, plugins=None) -> "np.ndarray":
     """REAL image decoder, pure numpy (this container has no imaging
     libraries, but netpbm P5/P6 and uncompressed 24-bit BMP need none):
 
@@ -90,8 +116,9 @@ def decode_image(data: bytes) -> "np.ndarray":
     - BM (24-bit BI_RGB BMP) -> (h, w, 3) uint8 (rows flipped to
       top-down, BGR -> RGB)
 
-    Anything else still raises NotImplementedError (JPEG/PNG genuinely
-    need a codec library)."""
+    Other formats fall through to ``plugins`` (default: the decoders
+    injected via :func:`register_image_decoder`), then raise
+    NotImplementedError (JPEG/PNG genuinely need a codec library)."""
     if data[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _ppm_header(data)
         if maxval > 255:
@@ -117,6 +144,9 @@ def decode_image(data: bytes) -> "np.ndarray":
         if not top_down:
             rows = rows[::-1]
         return rows[..., ::-1].copy()  # BGR -> RGB
+    for sniff, decode in (_IMAGE_DECODERS if plugins is None else plugins):
+        if sniff(data):
+            return decode(data)
     raise NotImplementedError(
         "unsupported image format (pure-numpy decoder handles P5/P6 "
         "netpbm and 24-bit BMP; JPEG/PNG need an imaging library) — "
@@ -172,8 +202,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ``fake=True`` (the oracle-checked default) hashes the bytes into a
     deterministic vector.  ``fake=False`` runs the REAL pipeline on
     image rows: pure-numpy decode (P5/P6/BMP) -> :func:`image_features`
-    descriptor; audio/video rows still raise inside the kernel (no
-    codec libraries in this container)."""
+    descriptor (built-in P5/P6/BMP plus any decoders injected via
+    :func:`register_image_decoder`, snapshotted here so they ship
+    inside the task closure); audio/video rows still raise inside the
+    kernel (no codec libraries in this container)."""
+    plugins = tuple(_IMAGE_DECODERS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,7 +222,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                             f"real {mt} decoding needs codec libraries"
                         )
                     feats.append(
-                        image_features(decode_image(bytes(b))).tolist()
+                        image_features(
+                            decode_image(bytes(b), plugins=plugins)
+                        ).tolist()
                     )
             yield pd.DataFrame(
                 {
