@@ -206,14 +206,17 @@ def test_dist_wand_empty_survivor_set_returns_empty(spark, tmp_path):
     d = _build(spark, tmp_path / "empty", docs)
     idx = PackedIndex(spark, d, CFG)
     idx.META_COLLECT_MAX = 0
-    orig = idx._seg_survivors
+    # defeat the no-prune early exit (a toy corpus never prunes, so the
+    # grid estimate would dispatch to the exact pass before the guard)
+    idx._seg_cell_survival_est = lambda *a, **k: 0.0
+    orig = idx._seg_survivors_from
     called = {}
 
     def fake(*a, **k):
         called["yes"] = True
         return orig(*a, **k).limit(0)
 
-    idx._seg_survivors = fake
+    idx._seg_survivors_from = fake
     assert idx.bm25_topk(["alpha", "beta"], k=3, mode="wand").count() == 0
     assert called, "theta never became finite; guard untested"
 

@@ -2037,20 +2037,24 @@ class PackedIndex:
         # canonical fold: bincount accumulates in row order, so sort the
         # rows by term_id — each doc's partials then add in ascending
         # term_id order, bit-identical to every other scoring path
+        didx = pc[ok]  # position in the pinned doc-stats arrays
         o = np.argsort(ptid, kind="stable")
-        dids, ptid, tf, ptgt, dl = dids[o], ptid[o], tf[o], ptgt[o], dl[o]
-        ln_idf = np.zeros(dids.size)
+        ptid, tf, ptgt, dl, didx = ptid[o], tf[o], ptgt[o], dl[o], didx[o]
+        ln_idf = np.zeros(didx.size)
         for t, v in idf_map.items():
             ln_idf[ptid == t] = math.log(v)
         score = _bm25_partial(ln_idf, tf, dl, k1, b, self.avg_len)
-        uids, inv = np.unique(dids, return_inverse=True)
-        sums = np.bincount(inv, weights=score)
-        udl = np.zeros(uids.size)
-        udl[inv] = dl
+        # group by the PINNED doc index instead of np.unique (which
+        # re-sorts the full entry array): bincount over the corpus-sized
+        # index is O(entries + n_docs) and accumulates in row order —
+        # rows are term_id-sorted above, so each doc's partials still
+        # add in ascending term_id order (canonical fold preserved)
+        sums = np.bincount(didx, weights=score, minlength=sids.size)
         # candidates: docs appearing in >=1 TARGET (surviving) block
-        cand = np.zeros(uids.size, dtype=bool)
-        cand[inv[ptgt]] = True
-        return self._topk_rows(uids[cand], sums[cand], udl[cand], k)
+        cand = np.zeros(sids.size, dtype=bool)
+        cand[didx[ptgt]] = True
+        ci = np.flatnonzero(cand)
+        return self._topk_rows(sids[ci], sums[ci], dls[ci], k)
 
     def _score_flagged_arrays(
         self,
@@ -2063,6 +2067,7 @@ class PackedIndex:
         k1: float,
         b: float,
         doc_ranges: list[tuple] | None = None,
+        block_filter=None,
     ) -> DataFrame:
         """Driver-planned wrapper: block-key arrays + is_target flags ->
         broadcast kdf, built from pandas so the keys ship via Arrow
@@ -2078,7 +2083,9 @@ class PackedIndex:
         )
         kdf = F.broadcast(self.spark.createDataFrame(kdf_pd))
         tids = sorted(set(term.tolist()))
-        return self._score_flagged_df(kdf, tids, qinfo, k1, b, doc_ranges)
+        return self._score_flagged_df(
+            kdf, tids, qinfo, k1, b, doc_ranges, block_filter=block_filter
+        )
 
     def _score_flagged_df(
         self,
@@ -2296,31 +2303,64 @@ class PackedIndex:
     #: terms' blocks span widely; those are sparse-credit territory)
     DIST_WAND_WIDE_CAP = 64
 
-    def _seg_survivors(
+    def _sparse_credit_plan(
         self,
-        meta2: DataFrame,
-        tids: list[int],
+        blocks_meta: DataFrame,
+        sp_pdf: pd.DataFrame | None,
         sparse_set: set,
         key_cols: list[str],
-        theta: float,
     ) -> DataFrame:
-        """Distributed WAND survival with doc-range-ALIGNED 'others'
-        credits via a segment grid: the doc-id space is cut into
-        DIST_WAND_SEGMENTS fixed segments, each term's per-segment max
-        block ub is aggregated distributed (summary bounded by
-        |terms| x segments, independent of corpus size), the
-        per-(term, segment) others sums are computed driver-side in
-        numpy, and BROADCAST back; survival is decided inside the
-        exploded pipeline (exists a segment of the block where
-        ub + others + sp_credit clears θ), so nothing per-block ever
-        lands on the driver or shuffles wide.  Sound: a doc in block B
-        lies in one of B's segments s, and the t'-block containing it
-        overlaps s, so segmax(t', s) >= its contribution; the exists-max
-        over B's segments only loosens further.  Blocks spanning >
-        DIST_WAND_WIDE_CAP segments use their term's global max
-        (seg = -1 rows — sound superset).  ``meta2`` must carry
-        ``ub`` and ``sp_credit``.  Returns the surviving blocks with
-        key_cols + term_id/salt/min_doc/max_doc."""
+        """Attach the sparse-term survival credit column to the block
+        metadata (lazy plan, no job).  A sparse term's blocks span
+        nearly the whole doc-id space, so its global ub would credit
+        every block; this join grants it only to blocks that truly
+        contain one of its (driver-decoded) docs — salt-equi broadcast
+        hash join with the range check as a post-filter, output bounded
+        by |query terms| x sparse df."""
+        if not sparse_set:
+            return blocks_meta.withColumn("sp_credit", F.lit(0.0))
+        spdf = F.broadcast(
+            self.spark.createDataFrame(
+                sp_pdf[["term_id", "salt", "doc_id", "ub"]].rename(
+                    columns={"term_id": "sp_tid", "salt": "sp_salt",
+                             "ub": "sp_ub"}
+                )
+            )
+        )
+        credit = (
+            blocks_meta.alias("m")
+            .join(
+                spdf,
+                (F.col("sp_salt") == F.col("m.salt"))
+                & (F.col("sp_tid") != F.col("m.term_id"))
+                & (F.col("doc_id") >= F.col("m.min_doc"))
+                & (F.col("doc_id") <= F.col("m.max_doc")),
+            )
+            .groupBy(*[F.col(f"m.{c}") for c in key_cols], F.col("sp_tid"))
+            .agg(F.max("sp_ub").alias("mx"))
+            .groupBy(*key_cols)
+            .agg(F.sum("mx").alias("sp_credit"))
+        )
+        return blocks_meta.join(credit, key_cols, "left").fillna(
+            {"sp_credit": 0.0}
+        )
+
+    def _seg_summary(
+        self, meta2: DataFrame, tids: list[int], sparse_set: set
+    ) -> dict | None:
+        """Phase 1 of the segment-grid survival plan (see
+        :meth:`_seg_survivors_from`): the doc-id space is cut into
+        DIST_WAND_SEGMENTS fixed segments and each term's per-segment
+        max block ub is aggregated distributed — ONE summary job whose
+        output is bounded by |terms| x segments, independent of corpus
+        size — then the per-(term, segment) 'others' credit sums are
+        computed driver-side in numpy.  Returns the driver-sized grid
+        (plus the segmented block relation) or None when the metadata
+        relation is empty.  Split from the survivor relation so the θ
+        metadata job can run CONCURRENTLY with this summary job (θ is
+        only needed by the survival filter, built afterwards), and so
+        the caller can estimate the no-prune case from the grid without
+        launching the survivor job at all."""
         # grid size from the meta-estimated doc-id span (salts partition
         # the space) — no extra job; a coarse overestimate only loosens
         # the credits, never unsounds them
@@ -2349,7 +2389,7 @@ class PackedIndex:
             .agg(F.max("ub").alias("mx"))
         )
         if not len(segmax):
-            return meta2.limit(0)
+            return None
         n_seg = max(1, int(segmax["seg"].max()) + 1)
         tlist = sorted(set(int(t) for t in tids))
         tix = {t: i for i, t in enumerate(tlist)}
@@ -2377,8 +2417,44 @@ class PackedIndex:
         for t in tlist:
             i = tix[t]
             others[i] = total - (cr[i] if t not in sparse_set else 0.0)
-        # broadcast (term, seg) -> others; seg = -1 rows carry each
-        # term's global fallback for wide blocks
+        return {
+            "bm": bm, "seg_expr": seg_expr, "tlist": tlist,
+            "cr": cr, "others": others, "n_seg": n_seg,
+        }
+
+    def _seg_cell_survival_est(self, summ: dict, sp_max: float, theta: float) -> float:
+        """Driver-side, job-free estimate of the surviving fraction from
+        the segment grid: a (term, segment) cell's BEST block survives
+        iff cr + others + sp_max clears θ, so the fraction of occupied
+        cells clearing θ upper-bounds how much the survivor machinery
+        could prune.  ~1.0 means pruning would remove (almost) nothing
+        — the caller then skips the survivor/candidate jobs entirely
+        and takes the plain exact pass, which selects the same top-k
+        (both branches are exact; this is a dispatch heuristic only)."""
+        cr, others = summ["cr"], summ["others"]
+        occ = cr > 0
+        n_occ = int(occ.sum())
+        if n_occ == 0:
+            return 1.0
+        alive = (cr + others + sp_max) >= (theta - 1e-9)
+        return float((occ & alive).sum()) / n_occ
+
+    def _seg_survivors_from(
+        self, summ: dict, sparse_set: set, key_cols: list[str], theta: float
+    ) -> DataFrame:
+        """Phase 2: the distributed survival relation from the segment
+        grid summary.  The per-(term, segment) others sums are BROADCAST
+        back and survival is decided inside the exploded pipeline
+        (exists a segment of the block where ub + others + sp_credit
+        clears θ), so nothing per-block ever lands on the driver or
+        shuffles wide.  Sound: a doc in block B lies in one of B's
+        segments s, and the t'-block containing it overlaps s, so
+        segmax(t', s) >= its contribution; the exists-max over B's
+        segments only loosens further.  Blocks spanning >
+        DIST_WAND_WIDE_CAP segments use their term's global max
+        (seg = -1 rows — sound superset).  Returns the surviving blocks
+        with key_cols + min_doc/max_doc."""
+        tlist, others, n_seg = summ["tlist"], summ["others"], summ["n_seg"]
         pt_max = others.max(axis=1)
         oth_pdf = pd.DataFrame(
             {
@@ -2402,8 +2478,9 @@ class PackedIndex:
         # operation is the final per-key dedup over rows that ALREADY
         # cleared θ
         return (
-            bm.select(
-                *key_cols, "min_doc", "max_doc", "ub", "sp_credit", seg_expr
+            summ["bm"].select(
+                *key_cols, "min_doc", "max_doc", "ub", "sp_credit",
+                summ["seg_expr"],
             )
             .join(oth_df, ["term_id", "seg"])
             .filter(
@@ -2416,6 +2493,22 @@ class PackedIndex:
                 F.first("max_doc").alias("max_doc"),
             )
         )
+
+    def _seg_survivors(
+        self,
+        meta2: DataFrame,
+        tids: list[int],
+        sparse_set: set,
+        key_cols: list[str],
+        theta: float,
+    ) -> DataFrame:
+        """Both phases composed (summary job + survival relation) — the
+        shape the soundness property test pins: grid survival must be a
+        superset of the exact range-aligned prune."""
+        summ = self._seg_summary(meta2, tids, sparse_set)
+        if summ is None:
+            return meta2.limit(0)
+        return self._seg_survivors_from(summ, sparse_set, key_cols, theta)
 
     def _wand_topk_distributed(self, qinfo: list[dict], k: int, k1: float, b: float) -> DataFrame:
         """Fully distributed block-max WAND for head-term territory
@@ -2498,25 +2591,54 @@ class PackedIndex:
                         theta,
                         float(np.partition(fl, fl.size - k)[fl.size - k]),
                     )
+        theta_fut = None
         if tight and nonneg:
             # metadata-only θ (same proof as the driver-planned path:
             # per-term block max_scores are achieved by k distinct real
             # docs) — replaces the seed DECODE pass with one tiny
-            # metadata aggregation
+            # metadata aggregation.  SUBMITTED to a background thread:
+            # θ is only consumed by the survival filter, which is built
+            # after the (independent) segment-summary job — the two
+            # planning jobs overlap instead of running back-to-back.
             from pyspark.sql import Window
 
             w = Window.partitionBy("term_id").orderBy(
                 F.desc("max_score"), *key_cols
             )
-            kth = (
+            kth_df = (
                 blocks_meta.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == k)
                 .agg(F.max("max_score"))
-                .first()[0]
             )
+            pool = getattr(self, "_bg_pool", None)
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = self._bg_pool = ThreadPoolExecutor(max_workers=1)
+            theta_fut = pool.submit(lambda: kth_df.first()[0])
+        _mk("theta_submit")
+
+        # survival credits: ub + (other DENSE terms' range-aligned max)
+        # + (other SPARSE terms' postings-level credit) >= θ.  A sparse
+        # term's blocks span nearly the whole doc-id space, so its
+        # global ub would credit every block; the credit join grants it
+        # only to blocks that truly contain one of its (driver-decoded)
+        # docs — salt-equi broadcast hash join with the range check as
+        # a post-filter, output bounded by |query terms| x sparse df.
+        sparse_set = set(sparse_ids) if sp_pdf is not None else set()
+        meta2 = self._sparse_credit_plan(blocks_meta, sp_pdf, sparse_set, key_cols)
+        _mk("credit_plan")
+        summ = self._seg_summary(meta2, tids, sparse_set)
+        _mk("seg_summary")
+        if theta_fut is not None:
+            kth = theta_fut.result()
             if kth is not None:
                 theta = max(theta, float(kth))
-        _mk("theta_meta")
+        _mk("theta_wait")
+        if summ is None:
+            return _arrow_df(
+                self.spark, [], "doc_id long, score double, doc_len long"
+            )
 
         # ---- pass 1 (fallback): θ from the rarest term's best blocks --
         # seed block METADATA is tiny (top few blocks of one term) and
@@ -2569,72 +2691,51 @@ class PackedIndex:
                 self.decode_postings(tids), qinfo, k1, b
             )
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        # survival: ub + (other DENSE terms' global max) + (other SPARSE
-        # terms' postings-level credit) >= θ.  A sparse term's blocks
-        # span nearly the whole doc-id space, so its global ub would
-        # credit every block; the credit join grants it only to blocks
-        # that truly contain one of its (driver-decoded) docs — salt-
-        # equi broadcast hash join with the range check as a post-
-        # filter, output bounded by |query terms| x sparse df.
-        sparse_set = set(sparse_ids) if sp_pdf is not None else set()
+        # job-free no-prune detection from the driver-sized segment
+        # grid: when (almost) every occupied cell clears θ the survivor
+        # machinery can only remove noise — skip its jobs entirely and
+        # take the plain exact single pass, which selects the same
+        # top-k (both branches exact; heuristic affects dispatch only)
+        sp_max = 0.0
         if sparse_set:
-            spdf = F.broadcast(
-                self.spark.createDataFrame(
-                    sp_pdf[["term_id", "salt", "doc_id", "ub"]].rename(
-                        columns={"term_id": "sp_tid", "salt": "sp_salt",
-                                 "ub": "sp_ub"}
-                    )
-                )
+            sp_max = float(
+                sp_pdf[sp_pdf["term_id"].isin(list(sparse_set))]
+                .groupby("term_id")["ub"].max().sum()
             )
-            credit = (
-                blocks_meta.alias("m")
-                .join(
-                    spdf,
-                    (F.col("sp_salt") == F.col("m.salt"))
-                    & (F.col("sp_tid") != F.col("m.term_id"))
-                    & (F.col("doc_id") >= F.col("m.min_doc"))
-                    & (F.col("doc_id") <= F.col("m.max_doc")),
-                )
-                .groupBy(*[F.col(f"m.{c}") for c in key_cols], F.col("sp_tid"))
-                .agg(F.max("sp_ub").alias("mx"))
-                .groupBy(*key_cols)
-                .agg(F.sum("mx").alias("sp_credit"))
+        if self._seg_cell_survival_est(summ, sp_max, theta) >= 0.97:
+            _mk("noprune_est")
+            scored = self._score_decoded(
+                self.decode_postings(tids), qinfo, k1, b
             )
-            meta2 = blocks_meta.join(credit, key_cols, "left").fillna(
-                {"sp_credit": 0.0}
-            )
-        else:
-            meta2 = blocks_meta.withColumn("sp_credit", F.lit(0.0))
-        # range-ALIGNED dense credits (the driver-planned path's key
-        # pruning lever, restated distributed): survival via a
-        # segment-grid summary instead of per-term global maxima — on
-        # corpora with doc-id locality (crawl order) the global maxima
-        # credit every block with the discriminative terms' full weight
-        # and nothing prunes
-        _mk("credit_plan")
-        surviving = self._seg_survivors(
-            meta2, tids, sparse_set, key_cols, theta
-        ).cache()
-        _mk("seg_summary")
-        n_surv = surviving.count()
-        _mk("survivor_count")
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        surviving = self._seg_survivors_from(summ, sparse_set, key_cols, theta)
+        # fused count + collect: ONE bounded job returns the survivor
+        # keys when the set is driver-sized (the common case) — the
+        # separate count job and cache materialization of the old chain
+        # collapse into this single limited collect; only the rare
+        # too-many-survivors branch below re-runs the pipeline cached
+        sk = self._topandas_arrow(
+            surviving.select(*key_cols, "min_doc", "max_doc")
+            .limit(self.DIST_SURV_COLLECT_MAX + 1)
+        )
+        _mk("survivor_collect")
+        n_surv = len(sk)
         if n_surv == 0:
-            surviving.unpersist()
             return _arrow_df(
                 self.spark, [], "doc_id long, score double, doc_len long"
             )
+        small = n_surv <= self.DIST_SURV_COLLECT_MAX
         if ent[1] is None:
             # count once per cached metadata relation (a PackedIndex is
             # a snapshot; the relation is immutable while cached)
             ent[1] = blocks_meta.count()
         n_blocks = ent[1]
         _mk("blocks_count")
-        if n_surv >= 0.9 * n_blocks:
+        if small and n_surv >= 0.9 * n_blocks:
             # pruning removed (almost) nothing — the flag/join machinery
             # would only add overhead over the plain exact single pass,
             # which selects the same top-k by the pruning proof (same
             # cap as the driver-planned path)
-            surviving.unpersist()
             scored = self._score_decoded(
                 self.decode_postings(tids), qinfo, k1, b
             )
@@ -2649,25 +2750,47 @@ class PackedIndex:
         # and doc_dict scans as row-group-prunable predicates, with the
         # surviving keys broadcast as the is_target flag: ONE scan job,
         # range-pruned, and the payload relation never shuffles.
-        surv_keys = surviving.select(*key_cols).withColumn(
-            "is_target", F.lit(True)
-        )
-        kdf = F.broadcast(surv_keys) if n_surv <= 2_000_000 else surv_keys
+        if not small:
+            # survivor set beyond the driver budget: cache the pipeline
+            # (the envelope aggregation below re-reads it) and get the
+            # exact count for the fallback check + broadcast decision
+            surviving = surviving.cache()
+            n_surv = surviving.count()
+            _mk("survivor_count")
+            if n_surv >= 0.9 * n_blocks:
+                surviving.unpersist()
+                scored = self._score_decoded(
+                    self.decode_postings(tids), qinfo, k1, b
+                )
+                return scored.orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                ).limit(k)
         if len(tids) == 1:
             # one term -> doc-disjoint blocks -> pruned blocks never
             # participate in the exact rescore (see driver-planned path)
-            scored = self._score_flagged_df(kdf, tids, qinfo, k1, b)
-        elif n_surv <= self.DIST_SURV_COLLECT_MAX:
-            # survivor set is driver-sized: ONE collect gives ranges,
-            # keys and flags, and a second bounded collect gives the
-            # candidate blocks — everything else (interval merge,
-            # block_seq pushdown intervals, survival flags) is numpy.
-            # Surviving SPARSE blocks enter as their decoded docs'
-            # singleton ranges, not their (enormous) block span.
-            sk = self._topandas_arrow(
-                surviving.select(*key_cols, "min_doc", "max_doc")
-            )
-            _mk("survivor_collect")
+            if small:
+                scored = self._score_flagged_arrays(
+                    sk["term_id"].to_numpy(np.int64),
+                    sk["salt"].to_numpy(np.int32),
+                    sk["block_seq"].to_numpy(np.int32),
+                    sk["gen"].to_numpy(np.int32),
+                    np.ones(len(sk), dtype=bool), qinfo, k1, b,
+                )
+            else:
+                kdf1 = surviving.select(*key_cols).withColumn(
+                    "is_target", F.lit(True)
+                )
+                if n_surv <= 2_000_000:
+                    kdf1 = F.broadcast(kdf1)
+                scored = self._score_flagged_df(kdf1, tids, qinfo, k1, b)
+        elif small:
+            # survivor set is driver-sized: the limited collect above
+            # already gave ranges, keys and flags in ONE job, and a
+            # second bounded collect gives the candidate blocks —
+            # everything else (interval merge, block_seq pushdown
+            # intervals, survival flags) is numpy.  Surviving SPARSE
+            # blocks enter as their decoded docs' singleton ranges, not
+            # their (enormous) block span.
             lo_parts, hi_parts = [], []
             sk_tid = sk["term_id"].to_numpy(np.int64)
             dense_mask = ~np.isin(sk_tid, list(sparse_set)) if sparse_set else (
@@ -2717,28 +2840,6 @@ class PackedIndex:
             )
             _mk("candidate_collect")
             part_vol = int(cand["n"].sum())
-            # The payload files are sorted by (term_id, block_seq), so a
-            # min_doc/max_doc predicate cannot prune row groups — but
-            # block_seq is doc-id-monotone within (term, salt, gen), so
-            # the candidate doc ranges translate into per-group
-            # block_seq INTERVALS whose predicate aligns with the file
-            # sort order and prunes the payload IO itself.
-            blk = ov
-            grp = cand.groupby(["term_id", "salt", "gen"])["block_seq"].agg(
-                ["min", "max"]
-            )
-            if 0 < len(grp) <= 256:
-                blk = None
-                for (t, s, g), r in grp.iterrows():
-                    c = (
-                        (F.col("term_id") == int(t))
-                        & (F.col("salt") == int(s))
-                        & (F.col("gen") == int(g))
-                        & F.col("block_seq").between(
-                            int(r["min"]), int(r["max"])
-                        )
-                    )
-                    blk = c if blk is None else (blk | c)
             surv_set = set(zip(*(sk[c].to_numpy() for c in key_cols)))
             flags = np.fromiter(
                 (
@@ -2771,12 +2872,37 @@ class PackedIndex:
                 return _arrow_df(
                     self.spark, rows, "doc_id long, score double, doc_len long"
                 )
+            # The payload files are sorted by (term_id, block_seq), so a
+            # min_doc/max_doc predicate cannot prune row groups — but
+            # block_seq is doc-id-monotone within (term, salt, gen), so
+            # the candidate doc ranges translate into per-group
+            # block_seq INTERVALS whose predicate aligns with the file
+            # sort order and prunes the payload IO itself.  Built ONLY
+            # on this distributed-fallback path: the expression is a few
+            # hundred py4j Column ops — real driver milliseconds the
+            # driver-rescore path above must not pay.
+            blk = ov
+            grp = cand.groupby(["term_id", "salt", "gen"])["block_seq"].agg(
+                ["min", "max"]
+            )
+            if 0 < len(grp) <= 256:
+                blk = None
+                for (t, s, g), r in grp.iterrows():
+                    c = (
+                        (F.col("term_id") == int(t))
+                        & (F.col("salt") == int(s))
+                        & (F.col("gen") == int(g))
+                        & F.col("block_seq").between(
+                            int(r["min"]), int(r["max"])
+                        )
+                    )
+                    blk = c if blk is None else (blk | c)
             scored = self._score_flagged_arrays(
                 cand["term_id"].to_numpy(np.int64),
                 cand["salt"].to_numpy(np.int32),
                 cand["block_seq"].to_numpy(np.int32),
                 cand["gen"].to_numpy(np.int32),
-                flags, qinfo, k1, b, doc_ranges=dr,
+                flags, qinfo, k1, b, doc_ranges=dr, block_filter=blk,
             )
         else:
             # survivor set too large to collect precisely: per-salt
@@ -2792,6 +2918,10 @@ class PackedIndex:
             # postings (sp_pdf) are already decoded on the driver.
             # Surviving keys ride as a (possibly broadcast) flag
             # relation into a fully distributed rescore.
+            surv_keys = surviving.select(*key_cols).withColumn(
+                "is_target", F.lit(True)
+            )
+            kdf = F.broadcast(surv_keys) if n_surv <= 2_000_000 else surv_keys
             dense_surv = (
                 surviving.filter(~F.col("term_id").isin(list(sparse_set)))
                 if sparse_set
