@@ -50,13 +50,18 @@ class EngineConfig:
     # parquet row-group target for the postings files.  Files are sorted
     # by (term_id, block_seq), so bounded row groups turn the per-group
     # term_id min/max stats into a coarse TERM INDEX: a rare term's
-    # blocks live in one ~256 KB group per salt file, which both the
-    # executor scans (row-group pruning on term_id predicates) and the
-    # serving tier's driver-side pyarrow point reader exploit — a
-    # cache-miss postings fetch reads a few hundred KB instead of the
-    # whole salt file.  The parquet default (128 MB) would leave one
-    # group per salt at small/medium scale and nothing prunable.
-    pq_rowgroup_bytes: int = 256 * 1024
+    # blocks live in ~one group per salt file, which both the executor
+    # scans (row-group pruning on term_id predicates) and the serving
+    # tier's driver-side pyarrow point reader exploit — a cache-miss
+    # postings fetch reads n_salts × this many bytes instead of the
+    # whole table.  The parquet default (128 MB) would leave one group
+    # per salt at small/medium scale and nothing prunable.  Sizing
+    # (measured, 100k-doc synth build, local[32]): 256 KB groups tax
+    # the parquet writer 2.3× on index build (27.2 s vs 11.6 s; many
+    # tiny flushes) and full decode scans ~1.5× (per-group reader
+    # init); 2 MB recovers most of both (15.1 s build) while a 16-salt
+    # miss fetch stays at 32 MB — half the point reader's 64 MB cap.
+    pq_rowgroup_bytes: int = 2 * 1024 * 1024
 
     def __post_init__(self) -> None:
         if self.dtype not in _SUPPORTED_DTYPES:
