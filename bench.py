@@ -146,9 +146,16 @@ def main() -> None:
     t0 = time.time()
     idx.bm25_topk(QUERY_MIX[0][1], k=10, mode="wand").collect()
     results["q_wand_forced_cold"] = round(time.time() - t0, 3)
-    t0 = time.time()
+    # min-of-2 after one warming rep: a single unwarmed shot is hostage
+    # to one GC pause / codegen compile (observed: 11 s on a query whose
+    # steady state is 0.3 s)
     idx.bm25_topk(QUERY_MIX[2][1], k=10, mode="wand").collect()
-    results["q_wand_forced"] = round(time.time() - t0, 3)
+    reps = []
+    for _ in range(2):
+        t0 = time.time()
+        idx.bm25_topk(QUERY_MIX[2][1], k=10, mode="wand").collect()
+        reps.append(time.time() - t0)
+    results["q_wand_forced"] = round(min(reps), 3)
 
     # ---- 3b. WAND in its own regime: an >=8M-entry forced-WAND query
     # must not lose to the exact path.  The corpus is crawl-ordered

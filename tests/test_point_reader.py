@@ -68,6 +68,27 @@ def _sample_tids(pi, n=12) -> list[int]:
     return [r[0] for r in rows]
 
 
+def test_postings_files_term_sorted(idx_dir):
+    """The row-group term index only prunes if each postings file is
+    truly sorted by (term_id, block_seq).  A write whose sort does not
+    lead with the partitionBy column lets FileFormatWriter insert its
+    own SortExec(salt), whose spill merge interleaves equal-salt rows
+    and silently shreds this order (caught live: every per-group
+    term_id range spanned the full vocab, zero pruning anywhere)."""
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{idx_dir}/postings/salt=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["term_id", "block_seq"])
+        tid = np.asarray(t.column("term_id"))
+        bsq = np.asarray(t.column("block_seq"))
+        ok = (tid[:-1] < tid[1:]) | (
+            (tid[:-1] == tid[1:]) & (bsq[:-1] <= bsq[1:])
+        )
+        assert bool(np.all(ok)), f"{f} not sorted by (term_id, block_seq)"
+
+
 def test_multiple_row_groups_exist(pi, idx_dir):
     metas = pi._pq_files()
     assert metas is not None and len(metas) == CFG.n_salts

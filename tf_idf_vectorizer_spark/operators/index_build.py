@@ -558,7 +558,14 @@ def _build_index_body(
     if not one_shuffle:
         packed = packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
     writer = (
-        packed.sortWithinPartitions("term_id", "block_seq")
+        # the sort MUST lead with the partitionBy column: FileFormatWriter
+        # requires its output ordered by the partition columns and will
+        # otherwise insert its own SortExec(salt), whose external-sort
+        # spill merge interleaves equal-salt rows from different chunks —
+        # silently shredding the (term_id, block_seq) file order that the
+        # row-group term index depends on (observed: ~68 sorted runs per
+        # file, every per-group term_id range ~full-vocab, zero pruning)
+        packed.sortWithinPartitions("salt", "term_id", "block_seq")
         .write.partitionBy("salt")
         # bounded row groups over the term_id-sorted layout = a coarse
         # term index in the parquet stats (see EngineConfig.pq_rowgroup_bytes)

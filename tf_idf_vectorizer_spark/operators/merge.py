@@ -156,8 +156,11 @@ def merge_indexes(
     )
     if not one_shuffle:
         packed = packed.repartition(4 * n_salts, "salt")
+    # sort leads with salt so FileFormatWriter keeps this ordering
+    # instead of inserting its own order-shredding SortExec(salt)
+    # (see index_build.py pack_write)
     packed.sortWithinPartitions(
-        "term_id", "block_seq"
+        "salt", "term_id", "block_seq"
     ).write.partitionBy("salt").option(
         "parquet.block.size", str(int(config.pq_rowgroup_bytes))
     ).mode("overwrite").parquet(f"{out_dir}/postings")

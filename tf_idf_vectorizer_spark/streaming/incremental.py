@@ -388,8 +388,10 @@ class IncrementalIndex:
             )
             if not one_shuffle:
                 packed = packed.repartition(4 * n_salts, "salt")
+            # leading salt keeps FileFormatWriter from re-sorting and
+            # shredding the term order (see index_build.py pack_write)
             packed.sortWithinPartitions(
-                "term_id", "block_seq"
+                "salt", "term_id", "block_seq"
             ).write.partitionBy("salt").option(
                 "parquet.block.size", str(int(self.config.pq_rowgroup_bytes))
             ).mode("append").parquet(postings_path)
@@ -648,8 +650,10 @@ class IncrementalIndex:
         p_name, dd_name = f"postings_v{ver}", f"doc_dict_v{ver}"
         if not one_shuffle:
             packed = packed.repartition(4 * n_salts, "salt")
+        # leading salt keeps FileFormatWriter from re-sorting and
+        # shredding the term order (see index_build.py pack_write)
         packed.sortWithinPartitions(
-            "term_id", "block_seq"
+            "salt", "term_id", "block_seq"
         ).write.partitionBy("salt").option(
             "parquet.block.size", str(int(self.config.pq_rowgroup_bytes))
         ).mode("overwrite").parquet(
