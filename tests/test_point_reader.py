@@ -173,3 +173,45 @@ def test_keyed_fetch_returns_superset(pi, idx_dir):
         for r in cand.itertuples()
     }
     assert want <= have  # row-group-granular superset contains every key
+
+
+def test_term_dict_point_lookup_matches_pinned(spark, idx_dir):
+    """The large-dictionary path (driver pin disabled) must return the
+    same dictionary rows via the pyarrow point lookup as the pinned
+    map, including absent terms, and fall back cleanly under a byte
+    cap.  The dict is term-sorted with row-group stats, so the lookup
+    is a driver-side read of ~one group per term — no Spark job."""
+    pi_a = PackedIndex(spark, idx_dir, CFG)
+    terms = [r[0] for r in pi_a.term_dict.orderBy("df", "term")
+             .select("term").limit(5).collect()] + ["zz-no-such-term"]
+    pinned = pi_a._query_info(terms)
+    assert len(pinned) == 5
+
+    pi_b = PackedIndex(spark, idx_dir, CFG)
+    pi_b.DRIVER_DICT_MAX_TERMS = 0  # force the large-dict path
+    assert not pi_b._can_pin_dict()
+    assert pi_b._td_files() is not None
+    via_point = pi_b._query_info(terms)
+    assert [
+        (r["term"], r["term_id"], r["df"], round(float(r["idf"]), 12))
+        for r in via_point
+    ] == [
+        (r["term"], r["term_id"], r["df"], round(float(r["idf"]), 12))
+        for r in pinned
+    ]
+
+    pi_c = PackedIndex(spark, idx_dir, CFG)
+    pi_c.DRIVER_DICT_MAX_TERMS = 0
+    pi_c.PQ_POINT_READ_MAX_BYTES = 0  # force the Spark-scan fallback
+    via_scan = pi_c._query_info(terms)
+    assert [r["term"] for r in via_scan] == [r["term"] for r in pinned]
+
+
+def test_term_dict_files_term_sorted(idx_dir):
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{idx_dir}/term_dict/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["term"]).to_pandas()["term"].tolist()
+        assert t == sorted(t), f"{f} not sorted by term"

@@ -175,6 +175,24 @@ def _varint_hex(v):
     return F.concat(*parts)
 
 
+def write_term_dict(
+    df: DataFrame, path: str, parts: int, rowgroup_bytes: int
+) -> None:
+    """Term dictionary write in the layout every reader wants:
+    range-partitioned files SORTED by term, with bounded row groups, so
+    the per-group term min/max string stats form a coarse TERM INDEX.
+    A cold query's dictionary lookup (`term IN (...)`) then prunes to
+    ~one row group per query term instead of scanning the whole
+    dictionary — at web scale the vocabulary is 10^8+ rows and an
+    unsorted coalesced dict costs a full-table scan per cold query.
+    Shared by build, merge and the incremental IDF rewrite."""
+    df.repartitionByRange(max(1, parts), "term").sortWithinPartitions(
+        "term"
+    ).write.option(
+        "parquet.block.size", str(int(rowgroup_bytes))
+    ).mode("overwrite").parquet(path)
+
+
 def one_shuffle_pack_ok(spark: SparkSession, n_salts: int) -> bool:
     """True when the salt-partitioned single-shuffle pack can fill the
     cluster (parallelism = n_salts): n_salts >= 2x defaultParallelism.
@@ -585,8 +603,9 @@ def _build_index_body(
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"
     )
-    term_dict.coalesce(max(1, shuffle_parts // 8)).write.mode("overwrite").parquet(
-        f"{out_dir}/term_dict"
+    write_term_dict(
+        term_dict, f"{out_dir}/term_dict",
+        max(1, shuffle_parts // 8), config.pq_rowgroup_bytes,
     )
     dstats.unpersist()
     _mark("dict_writes")

@@ -37,6 +37,7 @@ from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.operators.index_build import (
     one_shuffle_pack_ok,
     pack_blocks_jvm,
+    write_term_dict,
 )
 from tf_idf_vectorizer_spark.query.packed import PackedIndex
 
@@ -168,8 +169,9 @@ def merge_indexes(
     doc_dict.coalesce(max(1, shuffle_parts // 4)).write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"
     )
-    term_dict.coalesce(max(1, shuffle_parts // 8)).write.mode("overwrite").parquet(
-        f"{out_dir}/term_dict"
+    write_term_dict(
+        term_dict, f"{out_dir}/term_dict",
+        max(1, shuffle_parts // 8), config.pq_rowgroup_bytes,
     )
 
     # per-salt lineage, metadata columns only (same shape as build_index)

@@ -43,6 +43,7 @@ lower scores; 0 stays a valid upper bound).
 
 from __future__ import annotations
 
+import bisect
 import glob
 import json
 import math
@@ -444,6 +445,104 @@ class PackedIndex:
             and self.meta.get("term_bytes", 0) <= self.DRIVER_DICT_MAX_BYTES
         )
 
+    def _td_files(self):
+        """term_dict parquet files + per-row-group term min/max string
+        stats for driver-side dictionary point lookups, or None when
+        unavailable (non-local path, pyarrow missing, no stats).  The
+        dictionary is written range-partitioned and sorted by term
+        (index_build.write_term_dict), so each group's [min, max] is a
+        tight term interval; parquet stat TRUNCATION keeps min a prefix
+        (<= true min) and max incremented past the true max, so pruning
+        on them stays a superset."""
+        if hasattr(self, "_td_meta"):
+            return self._td_meta
+        self._td_meta = None
+        path = getattr(self, "_table_paths", {}).get("term_dict")
+        if path is None:
+            return None
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        if not path.startswith("/") or not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        if not files or len(files) > self.PQ_POINT_READ_MAX_FILES:
+            return None
+        metas = []
+        for f in files:
+            try:
+                pf = pq.ParquetFile(f)
+            except Exception:
+                return None
+            md = pf.metadata
+            if md.num_row_groups == 0:
+                continue
+            rg0 = md.row_group(0)
+            names = {
+                rg0.column(j).path_in_schema: j for j in range(rg0.num_columns)
+            }
+            if "term" not in names:
+                return None
+            ci = names["term"]
+            lo, hi, nb = [], [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "surrogateescape")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "surrogateescape")
+                lo.append(mn)
+                hi.append(mx)
+                nb.append(md.row_group(i).total_byte_size)
+            metas.append((pf, lo, hi, nb))
+        self._td_meta = metas
+        return metas
+
+    def _td_point_lookup(self, terms: list[str]) -> list[dict] | None:
+        """Driver-side pyarrow point read of the query terms' dictionary
+        rows — no Spark job.  None -> caller falls back to the
+        distributed filter+collect."""
+        metas = self._td_files()
+        if metas is None:
+            return None
+        ts = sorted(set(terms))
+        if not ts:
+            return []
+        sel, total = [], 0
+        for pf, lo, hi, nb in metas:
+            gs = [
+                i
+                for i in range(len(lo))
+                # any query term inside [lo_i, hi_i]?  ts is sorted:
+                # the first term >= lo_i decides
+                if (lambda j: j < len(ts) and ts[j] <= hi[i])(
+                    bisect.bisect_left(ts, lo[i])
+                )
+            ]
+            if gs:
+                total += sum(nb[i] for i in gs)
+                sel.append((pf, gs))
+        if total > self.PQ_POINT_READ_MAX_BYTES:
+            return None
+        if not sel:
+            return []
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tset = pa.array(ts, pa.string())
+        out: list[dict] = []
+        for pf, gs in sel:
+            tbl = pf.read_row_groups(gs, columns=["term", "term_id", "df", "idf"])
+            t = tbl.filter(pc.is_in(tbl.column("term"), value_set=tset))
+            out.extend(t.to_pylist())
+        return out
+
     def _query_info(self, terms: list[str]) -> list[dict]:
         """Lookup of the query terms' dictionary rows (the broadcast
         'hot dictionary' — a handful of rows per query)."""
@@ -457,6 +556,12 @@ class PackedIndex:
                 }
             found = [self._term_map[t] for t in set(terms) if t in self._term_map]
             return sorted(found, key=lambda r: r["term"])
+        # dictionary too large to pin: point-read the handful of rows
+        # driver-side (the dict is term-sorted with row-group stats —
+        # one group per query term, no Spark job, no full-dict scan)
+        rows_pt = self._td_point_lookup(list(set(terms)))
+        if rows_pt is not None:
+            return sorted(rows_pt, key=lambda r: r["term"])
         rows = (
             self.term_dict.filter(F.col("term").isin(list(set(terms))))
             .select("term", "term_id", "df", "idf")

@@ -86,6 +86,7 @@ from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import (
     one_shuffle_pack_ok,
     pack_blocks_jvm,
+    write_term_dict,
 )
 from tf_idf_vectorizer_spark.query.packed import (
     PackedIndex,
@@ -521,8 +522,9 @@ class IncrementalIndex:
         ver = int(meta.get("table_version", 0)) + 1
         meta["table_version"] = ver
         td_name = f"term_dict_v{ver}"
-        new_term_dict.coalesce(2).write.mode("overwrite").parquet(
-            f"{self.dir}/{td_name}"
+        write_term_dict(
+            new_term_dict, f"{self.dir}/{td_name}",
+            2, self.config.pq_rowgroup_bytes,
         )
         new_tables = {"term_dict": td_name}
         if pure_append:
