@@ -56,12 +56,15 @@ class EngineConfig:
     # postings fetch reads n_salts × this many bytes instead of the
     # whole table.  The parquet default (128 MB) would leave one group
     # per salt at small/medium scale and nothing prunable.  Sizing
-    # (measured, 100k-doc synth build, local[32]): 256 KB groups tax
-    # the parquet writer 2.3× on index build (27.2 s vs 11.6 s; many
-    # tiny flushes) and full decode scans ~1.5× (per-group reader
-    # init); 2 MB recovers most of both (15.1 s build) while a 16-salt
-    # miss fetch stays at 32 MB — half the point reader's 64 MB cap.
-    pq_rowgroup_bytes: int = 2 * 1024 * 1024
+    # (measured, same-session A/Bs on 100k and 6M-doc synth builds,
+    # local[32]): 256 KB groups tax the parquet writer 2.3× (many tiny
+    # flushes) and full decode scans ~1.5× (per-group reader init);
+    # 2 MB still pays ~+20% pack_write over the ≥8 MB floor, 4 MB only
+    # ~+8%.  A cache-miss point read touches ~one group per salt file
+    # (the per-file group ranges partition the term space), so the miss
+    # cost is n_salts × this value: 4 MB × 16 salts = 64 MB, half the
+    # point reader's 128 MB cap.
+    pq_rowgroup_bytes: int = 4 * 1024 * 1024
 
     def __post_init__(self) -> None:
         if self.dtype not in _SUPPORTED_DTYPES:

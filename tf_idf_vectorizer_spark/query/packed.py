@@ -865,8 +865,11 @@ class PackedIndex:
     # serving point reader caps: bytes one driver-side pyarrow fetch may
     # touch (beyond it the distributed scan is the right tool) and the
     # number of salt files worth stat-ing driver-side (a 500k-salt
-    # cluster index is executor territory, not a serving-tier pin)
-    PQ_POINT_READ_MAX_BYTES = 64 * 1024 * 1024
+    # cluster index is executor territory, not a serving-tier pin).
+    # 128 MB decodes in ~100 ms from page cache — still well under the
+    # ~0.3 s executor-scan fallback — and admits a 32-salt index at the
+    # default 4 MB row groups (one group read per salt per miss)
+    PQ_POINT_READ_MAX_BYTES = 128 * 1024 * 1024
     PQ_POINT_READ_MAX_FILES = 4096
 
     def _pq_files(self):
