@@ -118,3 +118,23 @@ def test_checkpoint_resume(spark, built, tmp_path):
     m = spark.read.parquet(f"{out_b}/manifest")
     per_salt = m.groupBy("salt").count().collect()
     assert all(r["count"] == 1 for r in per_salt)
+
+
+def test_all_empty_docs_corpus_builds_and_queries(spark, tmp_path):
+    """A crawl partition can be all-empty after text extraction: the
+    build writes ZERO posting files (doc_dict still holds the docs) and
+    both the build's lineage read and the PackedIndex open must use
+    explicit schemas instead of failing parquet schema inference on the
+    file-less dir.  Queries return empty, not an error."""
+    from tf_idf_vectorizer_spark.query.packed import PackedIndex
+
+    cfg = EngineConfig(n_salts=2, block_size=8, term_buckets=4)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "empty_idx")
+    build_index(spark, docs, out, config=cfg)
+    pi = PackedIndex(spark, out, cfg)
+    assert pi.doc_num == 3 and int(pi.meta["n_terms"]) == 0
+    assert pi.bm25_topk(["anything"], k=5).collect() == []
+    assert pi.bm25_topk_rows(["anything"], k=5) == []

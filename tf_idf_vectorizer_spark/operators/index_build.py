@@ -612,8 +612,15 @@ def _build_index_body(
 
     # per-salt lineage from the WRITTEN blocks (metadata columns only —
     # parquet column pruning never touches the payloads; no cache of the
-    # packed relation, which would not fit at 10^12 docs)
-    written = spark.read.parquet(f"{out_dir}/postings")
+    # packed relation, which would not fit at 10^12 docs).  Explicit
+    # schema: a corpus whose every doc tokenizes to nothing writes ZERO
+    # posting files, and schema inference on the empty dir would fail
+    # the build (a legitimate crawl partition can be all-empty after
+    # text extraction)
+    written = spark.read.schema(
+        "term_id long, salt int, block_seq int, n int, "
+        "min_doc long, max_doc long"
+    ).parquet(f"{out_dir}/postings")
     if resume and done_salts:
         written = written.filter(~F.col("salt").isin(list(done_salts)))
     lineage = written.groupBy("salt").agg(

@@ -321,7 +321,15 @@ class PackedIndex:
         # groups (term_id min/max) at scan time.  Rows above the
         # committed-generation watermark are orphans of a crashed batch
         # (the meta write is the commit point) and must stay invisible.
-        self._postings_df = spark.read.parquet(paths["postings"]).filter(
+        # explicit schema: an all-empty-docs corpus legitimately has
+        # ZERO posting files (doc_dict still holds the docs), and
+        # schema inference on the file-less dir would fail the open
+        self._postings_df = spark.read.schema(
+            "term_id long, salt int, block_seq int, n int, "
+            "min_doc long, max_doc long, max_tf long, min_dl long, "
+            "max_dl long, max_score double, doc_deltas binary, "
+            "tfs binary, bucket int, gen int"
+        ).parquet(paths["postings"]).filter(
             F.col("gen") <= int(self.meta.get("generation", 0))
         )
         if warm:
