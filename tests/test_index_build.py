@@ -138,3 +138,19 @@ def test_all_empty_docs_corpus_builds_and_queries(spark, tmp_path):
     assert pi.doc_num == 3 and int(pi.meta["n_terms"]) == 0
     assert pi.bm25_topk(["anything"], k=5).collect() == []
     assert pi.bm25_topk_rows(["anything"], k=5) == []
+    # incremental ops on the empty-postings index hit the same
+    # schema-inference hazard one level deeper: an empty-docs batch
+    # appends zero posting files, and a delete decodes "blocks" that
+    # do not exist — both must work, not crash
+    from tf_idf_vectorizer_spark.streaming.incremental import (
+        IncrementalIndex,
+    )
+
+    inc = IncrementalIndex(spark, out, cfg)
+    inc.apply_batch(
+        adds=spark.createDataFrame([(4, "")], "doc_id long, text string")
+    )
+    inc.apply_batch(delete_ids=[1])
+    pi2 = PackedIndex(spark, out, cfg)
+    assert pi2.doc_num == 3  # +1 add, -1 delete
+    assert pi2.bm25_topk_rows(["anything"], k=5) == []

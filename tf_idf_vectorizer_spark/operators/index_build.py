@@ -58,6 +58,11 @@ BLOCK_SCHEMA = (
     "max_doc long, max_tf long, min_dl long, max_dl long, "
     "max_score double, doc_deltas binary, tfs binary"
 )
+# schema of the WRITTEN postings files (salt is the partition column).
+# Every reader of a postings dir passes it explicitly: a corpus (or a
+# micro-batch) whose docs all tokenize to nothing writes ZERO posting
+# files, and parquet schema inference on a file-less dir is an error.
+POSTINGS_FILE_SCHEMA = BLOCK_SCHEMA + ", bucket int, gen int"
 # min_dl yields the BM25 upper bound; max_dl the LOWER bound the WAND
 # driver-theta fast path needs (a conservative per-doc score floor)
 # postings carry an MVCC generation: a doc's live rows are those whose

@@ -324,11 +324,12 @@ class PackedIndex:
         # explicit schema: an all-empty-docs corpus legitimately has
         # ZERO posting files (doc_dict still holds the docs), and
         # schema inference on the file-less dir would fail the open
+        from tf_idf_vectorizer_spark.operators.index_build import (
+            POSTINGS_FILE_SCHEMA,
+        )
+
         self._postings_df = spark.read.schema(
-            "term_id long, salt int, block_seq int, n int, "
-            "min_doc long, max_doc long, max_tf long, min_dl long, "
-            "max_dl long, max_score double, doc_deltas binary, "
-            "tfs binary, bucket int, gen int"
+            POSTINGS_FILE_SCHEMA
         ).parquet(paths["postings"]).filter(
             F.col("gen") <= int(self.meta.get("generation", 0))
         )

@@ -84,6 +84,7 @@ from pyspark.sql import functions as F
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective_tf
 from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import (
+    POSTINGS_FILE_SCHEMA,
     one_shuffle_pack_ok,
     pack_blocks_jvm,
     write_term_dict,
@@ -327,9 +328,9 @@ class IncrementalIndex:
             ).first()
             ids = np.array(dead_ids, dtype=np.int64)
             bc = spark.sparkContext.broadcast(ids)
-            blocks = spark.read.parquet(postings_path).filter(
-                F.col("gen") <= committed_gen
-            )
+            blocks = spark.read.schema(POSTINGS_FILE_SCHEMA).parquet(
+                postings_path
+            ).filter(F.col("gen") <= committed_gen)
             # range check over metadata only; payloads of non-matching
             # blocks never cross the Arrow boundary
             hit = blocks_overlapping_ids(blocks, bc)
@@ -414,9 +415,9 @@ class IncrementalIndex:
             # metrics): one manifest row per salt touched by this
             # generation's blocks, computed from the WRITTEN metadata
             # columns only (payloads never read)
-            written = spark.read.parquet(postings_path).filter(
-                F.col("gen") == gen
-            )
+            written = spark.read.schema(POSTINGS_FILE_SCHEMA).parquet(
+                postings_path
+            ).filter(F.col("gen") == gen)
             lineage = written.groupBy("salt").agg(
                 F.sum("n").alias("rows_in"),
                 F.expr(
