@@ -72,6 +72,30 @@ def tokenize_cjk_expr(text: Column) -> Column:
     return F.concat(words, bigrams)
 
 
+def tokens_expr(tokenizer: str | None, text: Column) -> Column:
+    """text -> array<string> of tokens under the named tokenizer — the
+    single expression both term_frequencies and doc-length computations
+    derive from, so ``doc_len == sum(tf)`` holds by construction."""
+    if tokenizer in (None, "ws", "whitespace"):
+        from tf_idf_vectorizer_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+        toks = F.split(F.trim(text), TOKEN_SPLIT_RE)
+        return F.filter(toks, lambda t: t != F.lit(""))
+    if tokenizer == "cjk":
+        return tokenize_cjk_expr(text)
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (ws|cjk)")
+
+
+def doc_len_expr(tokenizer: str | None, text: Column) -> Column:
+    """text -> token count (long, 0 for null/empty): the document length
+    WITHOUT tokenize->explode->groupBy — a narrow projection over the
+    corpus instead of a full shuffle of every posting row (guide §2.4:
+    remove shuffles outright).  Exactly sum(tf) by construction."""
+    return F.coalesce(
+        F.size(tokens_expr(tokenizer, text)).cast("long"), F.lit(0).cast("long")
+    )
+
+
 def tf_function(tokenizer: str | None):
     """Dispatch a tokenizer name (recorded in the index meta, so
     incremental batches tokenize exactly like the build) to its

@@ -154,6 +154,7 @@ def merge_indexes(
         salted, config.block_size, config.term_buckets, gen=0,
         avg_len=build_avg_len, k1=config.k1, b=config.b,
         idf_df=term_dict.select("term_id", "idf"),
+        max_doc_bound=max_id,
     )
     if not one_shuffle:
         packed = packed.repartition(4 * n_salts, "salt")

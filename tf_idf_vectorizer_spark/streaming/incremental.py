@@ -375,8 +375,9 @@ class IncrementalIndex:
                 )
                 .fillna({"doc_len": 0})
             )
-            n_added, added_len = new_doc_stats.agg(
-                F.count("*"), F.sum("doc_len")
+            n_added, added_len, max_new_id, max_new_dl = new_doc_stats.agg(
+                F.count("*"), F.sum("doc_len"),
+                F.max("doc_id"), F.max("doc_len"),
             ).first()
             meta["doc_num"] += int(n_added or 0)
             meta["total_len"] += int(added_len or 0)
@@ -398,7 +399,9 @@ class IncrementalIndex:
             if one_shuffle:
                 rows = rows.repartition(4 * n_salts, "salt")
             packed = pack_blocks_jvm(
-                rows, self.config.block_size, meta["term_buckets"], gen=gen
+                rows, self.config.block_size, meta["term_buckets"], gen=gen,
+                max_doc_bound=int(max_new_id or 0),
+                max_tf_bound=2 * int(max_new_dl or 0) + 2,
             )
             if not one_shuffle:
                 packed = packed.repartition(4 * n_salts, "salt")
@@ -657,11 +660,17 @@ class IncrementalIndex:
         avg_len = float(meta.get("total_len", 0)) / max(
             int(meta.get("doc_num", 1)), 1
         )
+        # delta unroll bound: one metadata-only agg over doc_dict (tf
+        # needs no bound — stored tf is int32, 5 bytes always cover it)
+        max_doc_id = int(
+            idx.doc_dict.agg(F.max("doc_id")).first()[0] or 0
+        )
         packed = pack_blocks_jvm(
             rows, self.config.block_size, meta["term_buckets"], gen=0,
             avg_len=avg_len, k1=float(meta.get("k1", self.config.k1)),
             b=float(meta.get("b", self.config.b)),
             idf_df=idx.term_dict.select("term_id", "idf"),
+            max_doc_bound=max_doc_id,
         )
         # versioned commit covers postings too: the gen-0 re-pack and the
         # doc_dict gen reset MUST flip together (a crash between them
