@@ -215,3 +215,45 @@ def test_term_dict_files_term_sorted(idx_dir):
     for f in files:
         t = pq.read_table(f, columns=["term"]).to_pandas()["term"].tolist()
         assert t == sorted(t), f"{f} not sorted by term"
+
+
+def test_external_stats_disables_local_dict_point_lookup(spark, idx_dir):
+    """with_external_stats + large-dictionary regime: the copy must NOT
+    point-read the LOCAL on-disk term_dict (its df/idf belong to the
+    local corpus) — it has to fall back to the distributed filter over
+    the joined external stats table (round-5 advice, high)."""
+    pi = PackedIndex(spark, idx_dir, CFG)
+    terms = [r[0] for r in pi.term_dict.orderBy("df", "term")
+             .select("term").limit(3).collect()]
+    # external corpus: half the docs => different df/idf than local
+    from tf_idf_vectorizer_spark.operators.stats import corpus_stats
+    from tf_idf_vectorizer_spark.functions.tokenize import term_frequencies
+    from tf_idf_vectorizer_spark.sources.synth import synth_corpus
+
+    ext_docs = synth_corpus(spark, 3000, vocab=300, seed=7).select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") % 2 == 0)
+    ext_stats = corpus_stats(term_frequencies(ext_docs, "doc_id", "text"))
+    ext_n = ext_docs.count()
+
+    ext = pi.with_external_stats(ext_stats, ext_n)
+    ext.DRIVER_DICT_MAX_TERMS = 0  # force the large-dict path on the copy
+    assert not ext._can_pin_dict()
+    # the copy must not expose the local term_dict files for point reads
+    assert ext._td_files() is None
+
+    got = {r["term"]: (int(r["df"]), float(r["idf"])) for r in ext._query_info(terms)}
+    # ground truth: the external stats joined the same way the pinned
+    # path would see them
+    from tf_idf_vectorizer_spark.operators.stats import idf_table
+    want = {
+        r["term"]: (int(r["df"]), float(r["idf"]))
+        for r in idf_table(ext_stats, ext_n, pi.meta.get("precision", "f32"))
+        .filter(F.col("term").isin(terms)).collect()
+    }
+    assert got == {t: v for t, v in want.items() if t in got}
+    assert set(got) == set(t for t in terms if t in want)
+    # and the original index still point-reads its own dictionary
+    pi2 = PackedIndex(spark, idx_dir, CFG)
+    pi2.DRIVER_DICT_MAX_TERMS = 0
+    assert pi2._td_files() is not None

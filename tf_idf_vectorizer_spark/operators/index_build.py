@@ -210,7 +210,8 @@ def _varint_chars(v, width: int = 10):
 
 
 def write_term_dict(
-    df: DataFrame, path: str, parts: int, rowgroup_bytes: int
+    df: DataFrame, path: str, parts: int, rowgroup_bytes: int,
+    n_rows: int | None = None,
 ) -> None:
     """Term dictionary write in the layout every reader wants:
     range-partitioned files SORTED by term, with bounded row groups, so
@@ -219,10 +220,20 @@ def write_term_dict(
     ~one row group per query term instead of scanning the whole
     dictionary — at web scale the vocabulary is 10^8+ rows and an
     unsorted coalesced dict costs a full-table scan per cold query.
-    Shared by build, merge and the incremental IDF rewrite."""
-    df.repartitionByRange(max(1, parts), "term").sortWithinPartitions(
-        "term"
-    ).write.option(
+    Shared by build, merge and the incremental IDF rewrite.
+
+    ``n_rows`` (when known) makes the file count scale-adaptive
+    (~250k terms per file): a 31-term dictionary becomes ONE sorted
+    file via coalesce — skipping repartitionByRange's extra sampling
+    job — while a 10^8-term dictionary still fans out."""
+    parts = max(1, int(parts))
+    if n_rows is not None:
+        parts = max(1, min(parts, -(-int(n_rows) // 250_000)))
+    if parts == 1:
+        w = df.coalesce(1).sortWithinPartitions("term")
+    else:
+        w = df.repartitionByRange(parts, "term").sortWithinPartitions("term")
+    w.write.option(
         "parquet.block.size", str(int(rowgroup_bytes))
     ).mode("overwrite").parquet(path)
 
@@ -458,33 +469,117 @@ def _build_index_body(
     resume, check_collisions, norms, cache_tf, tokenizer, t0, phases,
     _mark, doc_num, max_id,
 ):
-    # doc_len rides along with every TF row (no doc-keyed join later).
+    from tf_idf_vectorizer_spark.functions.tokenizers import (
+        doc_len_expr,
+        tokens_expr,
+    )
+
+    # ---- narrow doc-length pass (FIRST: it feeds the salting) ----------
+    # doc_len is re-derivable from the text alone (token count = sum(tf)
+    # by construction): ONE narrow projection over the corpus — no
+    # tokenize->explode->groupBy shuffle of every posting row, no
+    # docs-side join (guide §2.4).  Zero-token and null-text docs land
+    # here with doc_len 0 — they count in doc_num/avg_len and in the
+    # boolean universe ((all) / (not ...)), like ExactSearcher.all_docs.
+    dl_col = doc_len_expr(tokenizer, F.col(text_col))
+    if norms:
+        # the norms doc_dict needs tf+idf and is built further down;
+        # only the corpus-length scalars are needed here
+        dstats = None
+        total_len, max_dl_global = docs.select(
+            dl_col.alias("doc_len")
+        ).agg(F.sum("doc_len"), F.max("doc_len")).first()
+    else:
+        dstats = docs.select(
+            F.col(key_col).alias("doc_id"),
+            *([F.col(url_col)] if url_col else []),
+            dl_col.alias("doc_len"),
+            F.lit(0.0).alias("norm"),
+        ).cache()
+        doc_dict = dstats.withColumn("gen", F.lit(0))
+        total_len, max_dl_global = dstats.agg(
+            F.sum("doc_len"), F.max("doc_len")
+        ).first()
+    total_len = int(total_len or 0)
+    max_dl_global = int(max_dl_global or 0)
+    _mark("doc_stats")
+
+    # salting auto-scales so no (term_id, salt) group exceeds
+    # ~salt_target_rows posting entries (a stop-word's salt-local run
+    # is at most salt_range docs).  Salt count is a LAYOUT choice —
+    # more salts fragment mid-frequency terms' blocks (a df-500 term
+    # split over 64 salts becomes 64 eight-doc blocks: +50% index
+    # bytes, more WAND metadata), so it is NOT raised for parallelism:
+    # the pack aggregation partitions on (term_id, salt) regardless.
+    n_salts = max(
+        int(config.n_salts),
+        -(-(int(max_id) + 1) // int(config.salt_target_rows)),
+    )
+    salt_range = max(1, (int(max_id) + n_salts) // n_salts)
+
+    # ---- fused TF build: ONE exchange for TF agg AND pack --------------
+    # The exploded tokens are shuffled ONCE, keyed (term_id, salt) —
+    # both downstream aggregations (per-(doc,term) TF counts here, the
+    # posting pack's (term_id, salt) runs later) are key-refinements of
+    # that partitioning, so neither inserts another exchange (guide
+    # §2.4: two operations keyed the same way share one exchange).  The
+    # old shape paid the (doc_id, term) TF shuffle AND a second full
+    # (term_id, salt) repartition of every posting row.
     # tf_eff is the quantize->denorm roundtrip (identity for f32): the
     # index stores the EFFECTIVE tf, so the packed scorers match the
     # exact path for every engine dtype (tfidf.rs:61-213; the f16 chain
     # is the reference's default engine, mod.rs:50).  doc_len keeps RAW
     # counts (term_sum accumulates unquantized counts, term.rs:53-73).
-    from tf_idf_vectorizer_spark.functions.tokenizers import tf_function
-
-    tf = tf_function(tokenizer)(
-        docs, key_col, text_col, with_doc_len=True
-    ).withColumnRenamed(key_col, "doc_id")
-    tf = with_effective_tf(tf, config)
-    # the TF relation is read 2-3x (stats, doc stats, postings rows);
-    # caching trades re-tokenization (pure JVM, cheap) for executor
-    # memory.  At corpus sizes where the cache would spill, recompute
-    # wins — pass cache_tf=False for huge builds (the tokenize+agg
-    # stages then run per consumer, fully pipelined with each)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    par = int(spark.sparkContext.defaultParallelism)
+    # sized so a partition holds ~150k posting rows: the collect_list
+    # object aggregation thrashes on fat partitions at executor-sized
+    # memory (measured 3x on 4x4-core executors when the session's
+    # shuffle.partitions left ~500k rows per task)
+    agg_parts = max(
+        4 * n_salts,
+        shuffle_parts,
+        min(-(-int(total_len or 1) // 150_000), 64 * par),
+    )
+    exploded = docs.select(
+        F.col(key_col).alias("doc_id"),
+        tokens_expr(tokenizer, F.col(text_col)).alias("tokens"),
+    ).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("doc_len"),
+        F.explode("tokens").alias("term"),
+    )
+    keyed = exploded.select(
+        F.xxhash64("term").alias("term_id"),
+        (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
+        "doc_id",
+        "term",
+        "doc_len",
+    )
+    raw_tf = (
+        keyed.repartition(agg_parts, "term_id", "salt")
+        .groupBy("term_id", "salt", "doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+    tf = with_effective_tf(raw_tf, config)
+    # the TF relation is read 2x (stats, postings rows); caching trades
+    # re-tokenization (pure JVM, cheap) for executor memory.  At corpus
+    # sizes where the cache would spill, recompute wins — pass
+    # cache_tf=False for huge builds (the tokenize+agg stages then run
+    # per consumer, fully pipelined with each)
     if cache_tf:
         tf.cache()
 
     stats = corpus_stats(tf, "doc_id")
     idf = idf_table(stats, doc_num, precision)
-    # stable term ids: 64-bit hash of the term (collision-checked below)
+    # stable term ids: 64-bit hash of the term — the SAME xxhash64 the
+    # fused TF rows already carry (collision-checked below; no broadcast
+    # dictionary join anywhere in the build)
     term_dict = idf.select(
         F.xxhash64("term").alias("term_id"), "term", "df", "idf"
     )
     term_dict.cache()
+    reminted = False
     # term_bytes feeds the query layer's MEMORY-based decision on whether
     # the dictionary can be pinned on the driver (count alone misleads:
     # 2M 4-char terms and 2M 500-byte URLs are very different pins)
@@ -494,8 +589,10 @@ def _build_index_body(
         ).first()
         if n_ids != n_terms:
             # astronomically unlikely; re-mint with a salt to stay correct
+            reminted = True
             term_dict = idf.select(
-                F.xxhash64("term", F.lit(1)).alias("term_id"), "term", "df", "idf"
+                F.xxhash64("term", F.lit(1)).alias("term_id"),
+                "term", "df", "idf",
             )
     else:
         n_terms, term_bytes = term_dict.agg(
@@ -503,16 +600,13 @@ def _build_index_body(
         ).first()
     _mark("tf_and_term_dict")
 
-    # cosine norms need a tf-idf join over every posting; the BM25 query
-    # paths never read them, so they are opt-in (norms=True).
     if norms:
+        # cosine norms need a tf-idf join over every posting; the BM25
+        # query paths never read them, so they are opt-in (norms=True)
         dstats = doc_stats(
             tf, idf, "doc_id", precision,
             eff_col="tf_eff" if config.dtype != "f32" else None,
         ).cache()
-        # doc_dict spans ALL input docs, including zero-token ones
-        # (doc_len 0): they count in doc_num/avg_len and in the boolean
-        # universe ((all) / (not ...)), like ExactSearcher.all_docs
         base_cols = [F.col(key_col).alias("doc_id")] + (
             [F.col(url_col)] if url_col else []
         )
@@ -522,72 +616,21 @@ def _build_index_body(
             .fillna({"doc_len": 0, "norm": 0.0})
             .withColumn("gen", F.lit(0))
         )
-    else:
-        # doc_len is re-derivable from the text alone (token count =
-        # sum(tf) by construction): ONE narrow projection over the
-        # corpus — no tokenize->explode->groupBy shuffle of every
-        # posting row, no docs-side join (guide §2.4).  Zero-token and
-        # null-text docs land here with doc_len 0, same universe as the
-        # norms path's left join.
-        from tf_idf_vectorizer_spark.functions.tokenizers import doc_len_expr
 
-        dstats = docs.select(
-            F.col(key_col).alias("doc_id"),
-            *([F.col(url_col)] if url_col else []),
-            doc_len_expr(tokenizer, F.col(text_col)).alias("doc_len"),
-            F.lit(0.0).alias("norm"),
-        ).cache()
-        doc_dict = dstats.withColumn("gen", F.lit(0))
-    total_len, max_dl_global = dstats.agg(
-        F.sum("doc_len"), F.max("doc_len")
-    ).first()
-    total_len = total_len or 0
-    max_dl_global = int(max_dl_global or 0)
-    _mark("doc_stats")
-
-    # salting auto-scales so no (term_id, salt) group exceeds
-    # ~salt_target_rows posting entries (a stop-word's salt-local run
-    # is at most salt_range docs).  Salt count is a LAYOUT choice —
-    # more salts fragment mid-frequency terms' blocks (a df-500 term
-    # split over 64 salts becomes 64 eight-doc blocks: +50% index
-    # bytes, more WAND metadata), so it is NOT raised for parallelism.
-    base_salts = max(
-        int(config.n_salts),
-        -(-(int(max_id) + 1) // int(config.salt_target_rows)),
-    )
-    # pack strategy: the salt-partitioned single-shuffle pack (agg +
-    # encode + write fused, half the shuffle traffic) has parallelism
-    # = n_salts, so it only runs when salts can fill the cluster
-    # (>= 2x defaultParallelism; A/B at 32 cores / 8 salts it left 3x
-    # on the table, at 1->4 cores / 8 salts it won by 13-28%).
-    # Otherwise the agg shuffles on (term_id, salt) — balanced across
-    # shuffle partitions — and the (small, compressed) blocks reshuffle
-    # to the salt layout for the write.  At 10^12 docs base_salts is
-    # ~500k and the single-shuffle path always wins; pack_salt_rows
-    # then also bounds one salt's total postings so a single task's
-    # aggregation stays executor-sized.
-    one_shuffle = one_shuffle_pack_ok(spark, base_salts)
-    if one_shuffle:
-        n_salts = max(
-            base_salts,
-            -(-int(total_len or 1) // int(config.pack_salt_rows)),
-        )
-    else:
-        n_salts = base_salts
-    salt_range = max(1, (int(max_id) + n_salts) // n_salts)
-
-    # ---- postings rows with salt + bucket -----------------------------
+    # ---- postings rows --------------------------------------------------
     # idf deliberately NOT carried per row: pack_blocks_jvm joins it
-    # broadcast at (term_id, salt) group granularity after the shuffle
-    rows = (
-        tf.join(F.broadcast(term_dict.select("term_id", "term")), "term")
-        .select(
-            "term_id",
-            (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
-            "doc_id",
-            F.col("tf_eff").alias("tf"),
-            "doc_len",
-        )
+    # broadcast at (term_id, salt) group granularity after the shuffle.
+    # tf/doc_len narrow to int32 HERE, before any exchange (counts are
+    # u32 in the reference, term.rs); in the re-mint case term_id is
+    # re-derived from the term string, which costs the pack aggregation
+    # its exchange-free property — correct, and astronomically rare.
+    rows = tf.select(
+        (F.xxhash64("term", F.lit(1)) if reminted else F.col("term_id"))
+        .alias("term_id"),
+        "salt",
+        "doc_id",
+        F.col("tf_eff").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
     )
 
     manifest_path = f"{out_dir}/manifest"
@@ -599,35 +642,7 @@ def _build_index_body(
         }
         rows = rows.filter(~F.col("salt").isin(list(done_salts)))
 
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     build_avg_len = float(total_len) / max(int(doc_num), 1)
-    # ---- the posting pack (strategy chosen above) ----------------------
-    # one_shuffle: rows partition by salt BEFORE the aggregation —
-    # HashPartitioning(salt) satisfies the (term_id, salt) clustering,
-    # so the groupBy runs exchange-free and the write needs no blocks
-    # reshuffle (agg + varint encode + write fuse into one stage per
-    # salt; half the shuffle traffic).  Otherwise the agg shuffles on
-    # (term_id, salt) for balanced parallelism and the compressed
-    # blocks reshuffle to the salt layout.  Either way: over-partition
-    # the hash bins 4x (balls-in-bins), each salt lands in ONE
-    # partition — one directory per salt, ONE term_id-sorted file
-    # inside (parquet row-group min/max pruning; listing O(salts)).
-    if one_shuffle:
-        rows = rows.repartition(max(4 * n_salts, shuffle_parts), "salt")
-    else:
-        # explicit (term_id, salt) partitioning for the agg, sized so a
-        # partition holds ~150k posting rows: the collect_list object
-        # aggregation thrashes on fat partitions at executor-sized
-        # memory (measured 3x on 4x4-core executors when the session's
-        # shuffle.partitions left ~500k rows per task), and partitioning
-        # on the full group key here elides the agg's own exchange.
-        par = int(spark.sparkContext.defaultParallelism)
-        agg_parts = max(
-            4 * n_salts,
-            shuffle_parts,
-            min(-(-int(total_len or 1) // 150_000), 64 * par),
-        )
-        rows = rows.repartition(agg_parts, "term_id", "salt")
     # varint unroll bounds (see _varint_hex): deltas <= max doc id; tf
     # <= doc_len for the integer dtypes, and the f16 roundtrip can
     # overshoot the raw count by < 2^-9 relative — 2x + 2 is airtight
@@ -638,8 +653,12 @@ def _build_index_body(
         max_doc_bound=max_id,
         max_tf_bound=2 * max_dl_global + 2,
     )
-    if not one_shuffle:
-        packed = packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
+    # blocks (small, compressed) reshuffle to the salt layout for the
+    # write: over-partition the hash bins 4x (balls-in-bins), each salt
+    # lands in ONE partition — one directory per salt, ONE
+    # term_id-sorted file inside (parquet row-group min/max pruning;
+    # listing O(salts))
+    packed = packed.repartition(max(4 * n_salts, shuffle_parts), "salt")
     writer = (
         # the sort MUST lead with the partitionBy column: FileFormatWriter
         # requires its output ordered by the partition columns and will
@@ -663,14 +682,22 @@ def _build_index_body(
     # candidate doc-id range predicates into this scan, and sorted row
     # groups turn them into real parquet pruning (a pruned rescore
     # touches a handful of candidate ranges, not the whole dictionary)
-    doc_dict.repartitionByRange(
-        max(1, shuffle_parts // 4), "doc_id"
-    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+    # file count scales with the corpus (~1M docs per file), not with
+    # the session's shuffle width: a 5k-doc build writes ONE sorted file
+    # via coalesce (no repartitionByRange sampling job), a 10^9-doc
+    # build still fans out to shuffle_parts/4 range files
+    dd_parts = max(1, min(shuffle_parts // 4, -(-int(doc_num) // 1_000_000)))
+    dd = (
+        doc_dict.coalesce(1) if dd_parts == 1
+        else doc_dict.repartitionByRange(dd_parts, "doc_id")
+    )
+    dd.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out_dir}/doc_dict"
     )
     write_term_dict(
         term_dict, f"{out_dir}/term_dict",
         max(1, shuffle_parts // 8), config.pq_rowgroup_bytes,
+        n_rows=n_terms,
     )
     dstats.unpersist()
     _mark("dict_writes")

@@ -501,11 +501,17 @@ class PackedIndex:
                 st = md.row_group(i).column(ci).statistics
                 if st is None or not st.has_min_max:
                     return None
+                # compare as RAW BYTES, never decoded strings: byte
+                # order == code-point order for valid UTF-8, and stats
+                # that were byte-truncated mid-sequence (or contain
+                # invalid UTF-8) still compare correctly as prefixes —
+                # decoded lone surrogates would sort ABOVE real
+                # characters and could wrongly prune a group
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn = mn.decode("utf-8", "surrogateescape")
-                if isinstance(mx, bytes):
-                    mx = mx.decode("utf-8", "surrogateescape")
+                if isinstance(mn, str):
+                    mn = mn.encode("utf-8")
+                if isinstance(mx, str):
+                    mx = mx.encode("utf-8")
                 lo.append(mn)
                 hi.append(mx)
                 nb.append(md.row_group(i).total_byte_size)
@@ -523,15 +529,18 @@ class PackedIndex:
         ts = sorted(set(terms))
         if not ts:
             return []
+        # stats are raw UTF-8 bytes (see _td_files) — encode the query
+        # terms so the interval comparison happens in the byte domain
+        ts_b = sorted(t.encode("utf-8") for t in set(terms))
         sel, total = [], 0
         for pf, lo, hi, nb in metas:
             gs = [
                 i
                 for i in range(len(lo))
-                # any query term inside [lo_i, hi_i]?  ts is sorted:
+                # any query term inside [lo_i, hi_i]?  ts_b is sorted:
                 # the first term >= lo_i decides
-                if (lambda j: j < len(ts) and ts[j] <= hi[i])(
-                    bisect.bisect_left(ts, lo[i])
+                if (lambda j: j < len(ts_b) and ts_b[j] <= hi[i])(
+                    bisect.bisect_left(ts_b, lo[i])
                 )
             ]
             if gs:
@@ -600,6 +609,16 @@ class PackedIndex:
         )
         if hasattr(other, "_term_map"):
             del other._term_map  # re-pin the driver dict from the new table
+        # the copy must NOT point-read the LOCAL on-disk term_dict files:
+        # its df/idf now come from the external stats table, so disable
+        # the driver-side dictionary point lookup on the copy (own dict
+        # first — copy.copy shares ours) and drop any cached file metas;
+        # _query_info then falls back to the distributed filter over the
+        # joined external term_dict, which is correct
+        other._table_paths = dict(getattr(self, "_table_paths", {}))
+        other._table_paths.pop("term_dict", None)
+        if hasattr(other, "_td_meta"):
+            del other._td_meta
         return other
 
     def _blocks_for(self, term_ids: list[int] | None) -> DataFrame:
