@@ -65,6 +65,18 @@ class EngineConfig:
     # cost is n_salts × this value: 4 MB × 16 salts = 64 MB, half the
     # point reader's 128 MB cap.
     pq_rowgroup_bytes: int = 4 * 1024 * 1024
+    # cache_tf=False builds (huge corpora) read the fused TF relation
+    # twice (term dictionary, posting pack).  When its ESTIMATED size
+    # (total token count x ~56 B/row) fits this budget, build_index
+    # spills it to DISK_ONLY storage instead of recomputing the
+    # tokenize -> shuffle -> aggregate pipeline per consumer: local
+    # disk already holds the shuffle files of the same data, so the
+    # spill costs one extra write of comparable volume and saves a
+    # full pass.  Past the budget (the 10^12-doc regime, where posting
+    # rows are petabytes) the recompute path streams as before.  512 GB
+    # default: a small fraction of the aggregate local SSD of any
+    # cluster sized for such a corpus; single-box runs fit easily.
+    tf_spill_budget_bytes: int = 512 * 1024**3
 
     def __post_init__(self) -> None:
         if self.dtype not in _SUPPORTED_DTYPES:

@@ -562,13 +562,23 @@ def _build_index_body(
         .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
     )
     tf = with_effective_tf(raw_tf, config)
-    # the TF relation is read 2x (stats, postings rows); caching trades
-    # re-tokenization (pure JVM, cheap) for executor memory.  At corpus
-    # sizes where the cache would spill, recompute wins — pass
-    # cache_tf=False for huge builds (the tokenize+agg stages then run
-    # per consumer, fully pipelined with each)
+    # the TF relation is read 2x (stats, postings rows).  cache_tf=True:
+    # RAM cache (small corpora).  cache_tf=False: spill to DISK_ONLY
+    # while the estimated size fits config.tf_spill_budget_bytes —
+    # either way the persisted relation keeps its (term_id, salt)
+    # partitioning, so the pack aggregation stays exchange-free.  Past
+    # the budget (10^12-doc regime) recompute per consumer, fully
+    # pipelined (petabytes of posting rows must not land on local disk).
     if cache_tf:
         tf.cache()
+        tf_persisted = True
+    elif int(total_len) * 56 <= int(config.tf_spill_budget_bytes):
+        from pyspark import StorageLevel
+
+        tf.persist(StorageLevel.DISK_ONLY)
+        tf_persisted = True
+    else:
+        tf_persisted = False
 
     stats = corpus_stats(tf, "doc_id")
     idf = idf_table(stats, doc_num, precision)
@@ -758,6 +768,6 @@ def _build_index_body(
     from tf_idf_vectorizer_spark.ioutil import write_json_atomic
 
     write_json_atomic(meta, f"{out_dir}/meta.json")
-    if cache_tf:
+    if tf_persisted:
         tf.unpersist()
     return meta
