@@ -265,6 +265,15 @@ class IncrementalIndex:
             raise ValueError("pass adds (text) OR tf_adds (counts), not both")
         spark = self.spark
         meta = self._meta()
+        # per-phase wall clock, same shape as build_index's meta["phases"]
+        phases: dict[str, float] = {}
+        _last = [time.time()]
+
+        def _mark(name: str) -> None:
+            now = time.time()
+            phases[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         committed_gen = int(meta.get("generation", 0))
         gen = committed_gen + 1
         postings_path = self._path(meta, "postings")
@@ -275,6 +284,7 @@ class IncrementalIndex:
         # plans that already listed them.
         self._clean_orphan_rows(postings_path, gen)
         self._clean_orphan_rows(self._path(meta, "doc_dict"), gen)
+        _mark("orphan_guard")
         delete_ids = sorted(set(delete_ids or []))
         doc_dict = spark.read.parquet(self._path(meta, "doc_dict"))
         orig_doc_dict = doc_dict
@@ -307,6 +317,7 @@ class IncrementalIndex:
                 .collect()
             }
         dead_ids = sorted(dead_ids)
+        _mark("upsert_detect")
         # PURE-APPEND fast path (crawl ingestion: only brand-new doc
         # ids, no deletes): nothing existing changes except df/idf, so
         # doc_dict need not be rewritten — the batch's doc rows append
@@ -344,6 +355,7 @@ class IncrementalIndex:
                 dying.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
             )
             df_sub = dead_rows.groupBy("term_id").agg(F.count("*").alias("df_sub"))
+            _mark("df_sub")
             meta["doc_num"] -= int(n_dead or 0)
             meta["total_len"] -= int(dead_len or 0)
             doc_dict = doc_dict.join(
@@ -355,26 +367,85 @@ class IncrementalIndex:
         # ---- adds (add_doc) ----------------------------------------------
         df_add = None
         if ids_df is not None and ids_df.count() > 0:
-            from tf_idf_vectorizer_spark.functions.tokenizers import tf_function
+            from tf_idf_vectorizer_spark.functions.tokenizers import (
+                doc_len_expr,
+                tokens_expr,
+            )
 
-            raw_tf = (
-                tf_function(meta.get("tokenizer"))(adds, "doc_id", "text")
-                if adds is not None
-                else tf_adds.filter(F.col("tf") > 0)
+            salt_range = meta["salt_range"]
+            n_salts = int(meta.get("n_salts", 8))
+            shuffle_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
             )
-            tf = with_effective_tf(raw_tf, self.config).cache()
-            # doc stats derive from the UPSERTED ID relation, not the TF
-            # rows, so zero-token docs still land in doc_dict (doc_len 0)
-            # and count in doc_num — same universe as a fresh build
-            new_doc_stats = (
-                ids_df
-                .join(
-                    tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
+            pack_parts = max(4 * n_salts, shuffle_parts)
+            salt_col = (
+                (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt")
+            )
+            if adds is not None:
+                # fused shape (same as build_index): ONE (term_id, salt)
+                # exchange feeds the TF aggregation and the pack, and
+                # doc stats come from one narrow token-count projection
+                # over the batch — no posting-row shuffle, no doc join
+                tokzr = meta.get("tokenizer")
+                exploded = adds.select(
                     "doc_id",
-                    "left",
+                    tokens_expr(tokzr, F.col("text")).alias("tokens"),
+                ).select(
+                    "doc_id",
+                    F.size("tokens").cast("long").alias("doc_len"),
+                    F.explode("tokens").alias("term"),
                 )
-                .fillna({"doc_len": 0})
-            )
+                keyed = exploded.select(
+                    F.xxhash64("term").alias("term_id"),
+                    salt_col,
+                    "doc_id",
+                    "term",
+                    "doc_len",
+                )
+                raw_tf = (
+                    keyed.repartition(pack_parts, "term_id", "salt")
+                    .groupBy("term_id", "salt", "doc_id", "term")
+                    .agg(
+                        F.count("*").alias("tf"),
+                        F.first("doc_len").alias("doc_len"),
+                    )
+                )
+                tf = with_effective_tf(raw_tf, self.config).cache()
+                # zero-token docs land here with doc_len 0 — same
+                # universe as the fresh build's narrow doc stats
+                new_doc_stats = adds.select(
+                    "doc_id",
+                    doc_len_expr(tokzr, F.col("text")).alias("doc_len"),
+                )
+            else:
+                tf0 = with_effective_tf(
+                    tf_adds.filter(F.col("tf") > 0), self.config
+                )
+                # doc stats derive from the UPSERTED ID relation, not
+                # the TF rows, so zero-token docs still land in
+                # doc_dict (doc_len 0) and count in doc_num
+                new_doc_stats = (
+                    ids_df.join(
+                        tf0.groupBy("doc_id").agg(
+                            F.sum("tf").alias("doc_len")
+                        ),
+                        "doc_id",
+                        "left",
+                    ).fillna({"doc_len": 0})
+                )
+                tf = (
+                    tf0.join(new_doc_stats, "doc_id")
+                    .select(
+                        F.xxhash64("term").alias("term_id"),
+                        salt_col,
+                        "doc_id",
+                        "term",
+                        "tf",
+                        "doc_len",
+                        "tf_eff",
+                    )
+                    .cache()
+                )
             n_added, added_len, max_new_id, max_new_dl = new_doc_stats.agg(
                 F.count("*"), F.sum("doc_len"),
                 F.max("doc_id"), F.max("doc_len"),
@@ -382,29 +453,23 @@ class IncrementalIndex:
             meta["doc_num"] += int(n_added or 0)
             meta["total_len"] += int(added_len or 0)
 
-            tf_ids = tf.select(
-                F.xxhash64("term").alias("term_id"), "term", "doc_id",
-                F.col("tf_eff").alias("tf"),
-            )
-            salt_range = meta["salt_range"]
-            n_salts = int(meta.get("n_salts", 8))
-            rows = tf_ids.join(new_doc_stats, "doc_id").select(
+            rows = tf.select(
                 "term_id",
-                (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
+                "salt",
                 "doc_id",
-                "tf",
-                "doc_len",
+                F.col("tf_eff").cast("int").alias("tf"),
+                F.col("doc_len").cast("int").alias("doc_len"),
             )
-            one_shuffle = one_shuffle_pack_ok(spark, n_salts)
-            if one_shuffle:
-                rows = rows.repartition(4 * n_salts, "salt")
+            if adds is None:
+                # the tf_adds path was not built on the fused exchange
+                rows = rows.repartition(pack_parts, "term_id", "salt")
             packed = pack_blocks_jvm(
                 rows, self.config.block_size, meta["term_buckets"], gen=gen,
                 max_doc_bound=int(max_new_id or 0),
                 max_tf_bound=2 * int(max_new_dl or 0) + 2,
             )
-            if not one_shuffle:
-                packed = packed.repartition(4 * n_salts, "salt")
+            # blocks (small, compressed) reshuffle to the salt layout
+            packed = packed.repartition(pack_parts, "salt")
             # leading salt keeps FileFormatWriter from re-sorting and
             # shredding the term order (see index_build.py pack_write)
             packed.sortWithinPartitions(
@@ -413,6 +478,7 @@ class IncrementalIndex:
                 "parquet.block.size", str(int(self.config.pq_rowgroup_bytes))
             ).mode("append").parquet(postings_path)
             spark.catalog.refreshByPath(postings_path)
+            _mark("pack_write")
 
             # per-batch lineage (north rule: per-partition lineage +
             # metrics): one manifest row per salt touched by this
@@ -435,8 +501,9 @@ class IncrementalIndex:
                 .write.mode("append")
                 .parquet(f"{self.dir}/manifest")
             )
+            _mark("lineage")
 
-            df_add = tf_ids.groupBy("term_id", "term").agg(
+            df_add = tf.groupBy("term_id", "term").agg(
                 F.count("*").alias("df_add")
             )
             add_rows = new_doc_stats.select(
@@ -512,6 +579,7 @@ class IncrementalIndex:
             .alias("idf"),
         )
 
+        _mark("stats_rewrite_plan")
         meta["generation"] = gen
         had_norms = bool(meta.get("norms", False))
         if had_norms:
@@ -556,6 +624,9 @@ class IncrementalIndex:
         meta["n_terms"] = int(
             spark.read.parquet(f"{self.dir}/{td_name}").count()
         )
+        _mark("dict_writes")
+        _mark("commit")
+        meta["batch_phases"] = phases
         self._commit(meta, new_tables)
         if had_norms and refresh_norms:
             meta = self.refresh_norms()
