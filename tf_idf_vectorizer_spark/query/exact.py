@@ -67,7 +67,10 @@ class ExactSearcher:
         self.precision = precision
         self.all_docs = docs.select(key_col)
         self.doc_num = docs.count()
-        self.tf = term_frequencies(docs, key_col, text_col)
+        # doc_len rides on every TF row (token count, known before the
+        # explode): the BM25 scorer and the default-similarity output
+        # then need no doc_stats join at query time
+        self.tf = term_frequencies(docs, key_col, text_col, with_doc_len=True)
         # quantized engines (f16 default in the reference, mod.rs:50):
         # scoring sees the denormalized tf (quantize -> denorm chain,
         # tfidf.rs:61-213) while doc_len keeps RAW counts (term_sum
@@ -222,11 +225,9 @@ class ExactSearcher:
             )
             out = self._hits(hits)
         else:
-            fq = filter_query or Query.from_terms_or(list(terms.keys()))
-            cand = self.candidates(fq)
             # canonical fold key: xxhash64(term) — the SAME value the
-            # packed build assigns as term_id (index_build.py:419), so
-            # the exact surface folds per-doc partials in the identical
+            # packed build assigns as term_id (index_build.py), so the
+            # exact surface folds per-doc partials in the identical
             # ascending order as every PackedIndex path and all plans
             # agree bit-for-bit (VERDICT r4 finding #1; the plain F.sum
             # here folded in physical row order, so the exact surface
@@ -248,15 +249,26 @@ class ExactSearcher:
             joined = self.tf.join(qtab, "term").withColumn(
                 "term_id", F.xxhash64("term")
             )
-            if algo == "bm25":
-                joined = joined.join(
-                    self.doc_stats.select(self.key, "doc_len"), self.key
-                )
             partial = self._score_partials(algo, qtab, k1, b)
-            per_doc = joined.groupBy(self.key).agg(
-                canonical_fold(partial, tids).alias("raw")
-            )
-            scored = cand.join(per_doc, self.key, "left").fillna({"raw": 0.0})
+            # default filter (OR of the query terms): its candidate set
+            # is EXACTLY the scored key set — docs holding >= 1
+            # in-vocabulary query term — so the filters + union +
+            # distinct (a shuffle) and the candidate join are pure
+            # overhead; skip them and emit per_doc directly, carrying
+            # doc_len through the aggregate (no doc_stats join either).
+            # An explicit boolean filter keeps the full candidate path.
+            if filter_query is None:
+                per_doc = joined.groupBy(self.key).agg(
+                    canonical_fold(partial, tids).alias("raw"),
+                    F.first("doc_len").alias("doc_len"),
+                )
+                scored = per_doc
+            else:
+                cand = self.candidates(filter_query)
+                per_doc = joined.groupBy(self.key).agg(
+                    canonical_fold(partial, tids).alias("raw")
+                )
+                scored = cand.join(per_doc, self.key, "left").fillna({"raw": 0.0})
             if algo == "cosine":
                 norm_q = self._query_norm(terms)
                 scored = scored.join(
@@ -269,7 +281,15 @@ class ExactSearcher:
                 )
             else:
                 scored = scored.withColumn("score", F.col("raw"))
-            out = self._hits(scored.select(self.key, "score"))
+            if filter_query is None:
+                # same NaN-drop + shape as _hits, doc_len already here
+                out = scored.filter(~F.isnan("score")).select(
+                    self.key,
+                    F.col("score").cast("double").alias("score"),
+                    F.col("doc_len"),
+                )
+            else:
+                out = self._hits(scored.select(self.key, "score"))
 
         out = out.orderBy(F.desc("score"), F.asc(self.key))
         return out.limit(k) if k else out
