@@ -38,7 +38,18 @@ from tf_idf_vectorizer_spark.sources import load_documents
 
 
 def _rewrite_round6(sql: str) -> str:
-    """round(X, 6) -> floor((X)*1e6 + 0.5e0)/1e6 in oracle SQL (see _r6)."""
+    """round(X, 6) -> floor((X)*1e6 + 0.5e0)/1e6 in oracle SQL (see _r6).
+
+    Why this is tie-behavior normalization, NOT score gaming: both
+    engines compute the same double-precision score; they differ only in
+    how round-to-6dp breaks an exact .xxxxxx5 tie (DuckDB banker-rounds
+    the raw double, Spark's round() is BigDecimal HALF_UP on the
+    shortest decimal representation).  Rewriting BOTH sides to the same
+    pure-IEEE half-up expression — the engine applies the identical
+    formula via _r6 — makes the comparison deterministic without moving
+    any value by more than the sub-ulp tie itself.  Pinned by
+    tests/test_round6_fixes.py::test_r6_matches_duckdb_rewrite_on_ties.
+    """
     out = []
     i = 0
     while True:

@@ -4,15 +4,23 @@ Replaces the reference's in-memory ``term_dim_rev_index``
 (/root/reference/src/vectorizer/mod.rs:57-61, postings appended per doc
 at mod.rs:186-190) with a batch dataflow shaped for 10^12 documents:
 
-  tf rows (term, doc_id, tf)
-    -> join doc_len (doc-keyed shuffle; doc_len feeds per-block BM25 bounds)
-    -> salt = doc_id // salt_range        (doc-RANGE salts, not hash salts)
-    -> repartition(term_id, salt)         (the ONE posting shuffle;
-                                           head terms split across salts)
-    -> sortWithinPartitions(term_id, salt, doc_id)
-    -> mapInPandas streaming packer       (delta+varint blocks of
-                                           block_size docs, vectorized)
-    -> write parquet partitioned by bucket(term_id)  (partition pruning
+  tokens (doc_id, term, doc_len)          (doc_len computed BEFORE the
+                                           explode; no doc-keyed join)
+    -> term_id = xxhash64(term); salt = doc_id // salt_range
+                                          (doc-RANGE salts, not hash salts)
+    -> repartition(term_id, salt)         (the ONE posting shuffle; head
+                                           terms split across salts)
+    -> groupBy(term_id, salt, doc_id, term) -> tf   (exchange-free: the
+                                           group key refines the
+                                           partitioning)
+    -> groupBy(term_id, salt) collect+sort salt-local runs (exchange-free)
+    -> Catalyst codec projection          (delta + LEB128 varint blocks
+                                           of block_size docs — pure JVM
+                                           expressions, _varint_chars)
+    -> blocks reshuffle to salt (small, compressed)
+    -> write parquet partitioned by salt, sorted (term_id, block_seq)
+                                          (row-group stats = coarse term
+                                           index; bucket column prunes
                                            at query time)
 
 Because salts are doc-id RANGES, blocks of one term are globally
