@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 
 from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig
 from tf_idf_vectorizer_spark.operators.index_build import (
-    one_shuffle_pack_ok,
     pack_blocks_jvm,
     write_term_dict,
 )
@@ -133,18 +132,23 @@ def merge_indexes(
         int(config.n_salts), -(-(max_id + 1) // int(config.salt_target_rows))
     )
     salt_range = max(1, (max_id + n_salts) // n_salts)
-    # pack strategy mirrors build_index: salt-partition before the agg
-    # only when salts can fill the cluster (one_shuffle_pack_ok)
+    # pack clustering mirrors build_index: explicit (term_id, salt)
+    # partitioning sized ~150k posting rows per task; the aggregation's
+    # own exchange is elided by partitioning on the full group key
     salted = rows.select(
         "term_id",
         (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
         "doc_id",
-        "tf",
-        "doc_len",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
     )
-    one_shuffle = one_shuffle_pack_ok(spark, n_salts)
-    if one_shuffle:
-        salted = salted.repartition(4 * n_salts, "salt")
+    par = int(spark.sparkContext.defaultParallelism)
+    agg_parts = max(
+        4 * n_salts,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        min(-(-int(total_len or 1) // 150_000), 64 * par),
+    )
+    salted = salted.repartition(agg_parts, "term_id", "salt")
     build_avg_len = float(total_len) / max(doc_num, 1)
     # idf_df: per-block max_score is the TRUE max impact under the
     # MERGED corpus stats (tight WAND bounds survive the merge; without
@@ -156,8 +160,8 @@ def merge_indexes(
         idf_df=term_dict.select("term_id", "idf"),
         max_doc_bound=max_id,
     )
-    if not one_shuffle:
-        packed = packed.repartition(4 * n_salts, "salt")
+    # blocks (small, compressed) reshuffle to the salt layout
+    packed = packed.repartition(4 * n_salts, "salt")
     # sort leads with salt so FileFormatWriter keeps this ordering
     # instead of inserting its own order-shredding SortExec(salt)
     # (see index_build.py pack_write)

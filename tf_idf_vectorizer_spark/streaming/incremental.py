@@ -85,7 +85,6 @@ from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective
 from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import (
     POSTINGS_FILE_SCHEMA,
-    one_shuffle_pack_ok,
     pack_blocks_jvm,
     write_term_dict,
 )
@@ -118,16 +117,30 @@ def _orphan_local_path(uri: str) -> str:
     return local.split("file:", 1)[-1] if local.startswith("file:") else local
 
 
-def _write_doc_dict(spark: SparkSession, df: DataFrame, path: str) -> None:
+def _write_doc_dict(
+    spark: SparkSession, df: DataFrame, path: str, persist: bool = False
+) -> None:
     """Full doc_dict rewrite in the FRESH-BUILD layout: range-partitioned
     and sorted by doc_id, so the WAND rescore's candidate doc-range
     predicates prune row groups (index_build.py writes it the same way —
     a compacted or rewritten index must not silently lose that layout,
-    measured 2x+ on post-compact query latency when it did)."""
+    measured 2x+ on post-compact query latency when it did).
+
+    ``persist=True`` materializes ``df`` first: repartitionByRange's
+    range sampler is a full pass over the input, so a non-trivial
+    upstream (the mixed-batch anti-join + union) would otherwise be
+    computed twice.  Callers whose input is already cached (compact
+    reads PackedIndex.doc_dict, which is) skip it."""
     parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    df.repartitionByRange(parts, "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(path)
+    if persist:
+        df = df.persist()
+    try:
+        df.repartitionByRange(parts, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(path)
+    finally:
+        if persist:
+            df.unpersist()
 
 
 class IncrementalIndex:
@@ -310,12 +323,27 @@ class IncrementalIndex:
 
         dead_ids = set(delete_ids)
         if ids_df is not None:
-            dead_ids |= {
-                r[0]
-                for r in doc_dict.join(ids_df, "doc_id", "left_semi")
-                .select("doc_id")
-                .collect()
-            }
+            # range-prefilter before the semi join: doc_dict is written
+            # range-partitioned and sorted by doc_id, so for the common
+            # crawl shape (batch ids all ABOVE the existing id space)
+            # the pushed doc_id >= lo predicate prunes every row group
+            # and the overwrite check costs a footer scan, not a table
+            # scan.  Overwrite-heavy batches degrade gracefully to the
+            # old full scan (their id range spans the table).
+            id_lo, id_hi = ids_df.agg(
+                F.min("doc_id"), F.max("doc_id")
+            ).first()
+            if id_lo is not None:
+                dead_ids |= {
+                    r[0]
+                    for r in doc_dict.filter(
+                        (F.col("doc_id") >= id_lo)
+                        & (F.col("doc_id") <= id_hi)
+                    )
+                    .join(ids_df, "doc_id", "left_semi")
+                    .select("doc_id")
+                    .collect()
+                }
         dead_ids = sorted(dead_ids)
         _mark("upsert_detect")
         # PURE-APPEND fast path (crawl ingestion: only brand-new doc
@@ -597,6 +625,9 @@ class IncrementalIndex:
         write_term_dict(
             new_term_dict, f"{self.dir}/{td_name}",
             2, self.config.pq_rowgroup_bytes,
+            # pre-batch vocab as the file-count hint (~250k terms/file):
+            # small dictionaries write one sorted file, no sampling job
+            n_rows=int(meta.get("n_terms", 0)) or None,
         )
         new_tables = {"term_dict": td_name}
         if pure_append:
@@ -619,6 +650,10 @@ class IncrementalIndex:
                 spark,
                 doc_dict.select("doc_id", "doc_len", "norm", "gen", *dd_extra),
                 f"{self.dir}/{dd_name}",
+                # persist=False: the upstream (scan + broadcast anti-join
+                # + union) costs about one table scan — measured A/B at
+                # 2M docs, materializing it first breaks even at best
+                # and doubles the table's disk footprint at scale
             )
             new_tables["doc_dict"] = dd_name
         meta["n_terms"] = int(
@@ -713,16 +748,29 @@ class IncrementalIndex:
         )
         salt_range = meta["salt_range"]
         n_salts = int(meta.get("n_salts", 8))
-        one_shuffle = one_shuffle_pack_ok(spark, n_salts)
         rows = live.select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
             "doc_id",
-            "tf",
-            "doc_len",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("doc_len").cast("int").alias("doc_len"),
         )
-        if one_shuffle:
-            rows = rows.repartition(4 * n_salts, "salt")
+        # explicit (term_id, salt) partitioning sized like the fresh
+        # build (~150k posting rows per task): the collect_list object
+        # aggregation thrashes on fat partitions, and the session's
+        # query-sized shuffle width would leave millions of rows per
+        # task at multi-M-doc corpora.  Partitioning on the full group
+        # key elides the aggregation's own exchange.
+        par = int(spark.sparkContext.defaultParallelism)
+        agg_parts = max(
+            4 * n_salts,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            min(
+                -(-int(meta.get("total_len", 1) or 1) // 150_000),
+                64 * par,
+            ),
+        )
+        rows = rows.repartition(agg_parts, "term_id", "salt")
         # idf_df: the re-pack recomputes the TRUE per-block max_score
         # under current corpus stats, so the tight WAND bounds stay
         # valid after compaction (generation returns to 0, which is
@@ -749,8 +797,8 @@ class IncrementalIndex:
         ver = int(meta.get("table_version", 0)) + 1
         meta["table_version"] = ver
         p_name, dd_name = f"postings_v{ver}", f"doc_dict_v{ver}"
-        if not one_shuffle:
-            packed = packed.repartition(4 * n_salts, "salt")
+        # blocks (small, compressed) reshuffle to the salt layout
+        packed = packed.repartition(4 * n_salts, "salt")
         # leading salt keeps FileFormatWriter from re-sorting and
         # shredding the term order (see index_build.py pack_write)
         packed.sortWithinPartitions(
