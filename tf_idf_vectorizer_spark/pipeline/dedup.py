@@ -219,22 +219,32 @@ def embedding_near_dup(
     all-pairs verifier when completeness matters more than scale.
     -> (id_a, id_b, cosine)."""
     from tf_idf_vectorizer_spark.pipeline.similarity import (
-        cosine_expr,
+        dot_expr,
+        norm_expr,
         sign_bucket_expr,
     )
 
+    # norms computed ONCE per row below the join (bit-identical to the
+    # inline cosine_expr, which would recompute both per PAIR)
     bucketed = emb.select(
-        F.col(key_col), F.col(vec_col), sign_bucket_expr(vec_col, n_bits).alias("bucket")
+        F.col(key_col),
+        F.col(vec_col),
+        norm_expr(vec_col).alias("nrm"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
     )
     a = bucketed.select(
-        F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = bucketed.select(
-        F.col(key_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(key_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine_expr("va", "vb").alias("cosine")
+        "id_a",
+        "id_b",
+        (dot_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 

@@ -52,13 +52,24 @@ def brute_force_topk(
     """Exact cosine top-k neighbours for the given query ids (self
     excluded).  -> (query_id, vec_id, cosine) — rank by (cosine desc,
     vec_id asc) via one window per query, k rows each."""
+    # norms precomputed ONCE per row on each side, below the join:
+    # cosine_expr inline would recompute BOTH norms per (query, doc)
+    # pair — 2/3 of the kernel.  Same expression over the same array =
+    # bit-identical value; dot/(qn*dn) keeps the operation order.
     q = (
         emb.filter(F.col(key_col).isin(query_ids))
-        .select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_expr(vec_col).alias("qn"),
+        )
     )
-    pairs = F.broadcast(q).crossJoin(emb.select(key_col, vec_col))
+    corpus = emb.select(key_col, vec_col, norm_expr(vec_col).alias("dn"))
+    pairs = F.broadcast(q).crossJoin(corpus)
     scored = pairs.filter(F.col("query_id") != F.col(key_col)).select(
-        "query_id", key_col, cosine_expr("qv", vec_col).alias("cosine")
+        "query_id",
+        key_col,
+        (dot_expr("qv", vec_col) / (F.col("qn") * F.col("dn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(key_col))
     return (
@@ -95,14 +106,21 @@ def lsh_bucket_topk(
         .select(
             F.col(key_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            norm_expr(vec_col).alias("qn"),
             F.col("bucket").alias("qbucket"),
         )
     )
+    # per-row norms below the join (see brute_force_topk)
+    corpus = bucketed.select(
+        key_col, vec_col, "bucket", norm_expr(vec_col).alias("dn")
+    )
     pairs = F.broadcast(q).join(
-        bucketed, F.col("qbucket") == F.col("bucket")
+        corpus, F.col("qbucket") == F.col("bucket")
     )
     scored = pairs.filter(F.col("query_id") != F.col(key_col)).select(
-        "query_id", key_col, cosine_expr("qv", vec_col).alias("cosine")
+        "query_id",
+        key_col,
+        (dot_expr("qv", vec_col) / (F.col("qn") * F.col("dn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(key_col))
     return (
