@@ -132,9 +132,7 @@ def merge_indexes(
         int(config.n_salts), -(-(max_id + 1) // int(config.salt_target_rows))
     )
     salt_range = max(1, (max_id + n_salts) // n_salts)
-    # pack clustering mirrors build_index: explicit (term_id, salt)
-    # partitioning sized ~150k posting rows per task; the aggregation's
-    # own exchange is elided by partitioning on the full group key
+    # (term_id, salt) clustering comes from the pack aggregation itself
     salted = rows.select(
         "term_id",
         (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
@@ -142,13 +140,10 @@ def merge_indexes(
         F.col("tf").cast("int").alias("tf"),
         F.col("doc_len").cast("int").alias("doc_len"),
     )
-    par = int(spark.sparkContext.defaultParallelism)
-    agg_parts = max(
-        4 * n_salts,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        min(-(-int(total_len or 1) // 150_000), 64 * par),
-    )
-    salted = salted.repartition(agg_parts, "term_id", "salt")
+    # no explicit repartition: the pack aggregation's own exchange puts
+    # partial_collect_list below the shuffle (measured 1.7x faster than
+    # a fine-grained explicit repartition on the compact path — see
+    # incremental.compact)
     build_avg_len = float(total_len) / max(doc_num, 1)
     # idf_df: per-block max_score is the TRUE max impact under the
     # MERGED corpus stats (tight WAND bounds survive the merge; without

@@ -414,7 +414,14 @@ class PackedIndex:
         if self._can_pin_dict():
             self._query_info([])  # builds the pinned term map
         self._doc_stats_np()
-        rare = self.term_dict.orderBy("df", "term").first()
+        if getattr(self, "_term_map", None):
+            # dictionary already pinned driver-side: the rarest term is
+            # a Python min over the map — no Spark sort job
+            rare = min(
+                self._term_map.values(), key=lambda r: (r["df"], r["term"])
+            )
+        else:
+            rare = self.term_dict.orderBy("df", "term").first()
         if rare is None:
             return self
         self.decode_postings([rare["term_id"]]).limit(1).collect()

@@ -755,22 +755,13 @@ class IncrementalIndex:
             F.col("tf").cast("int").alias("tf"),
             F.col("doc_len").cast("int").alias("doc_len"),
         )
-        # explicit (term_id, salt) partitioning sized like the fresh
-        # build (~150k posting rows per task): the collect_list object
-        # aggregation thrashes on fat partitions, and the session's
-        # query-sized shuffle width would leave millions of rows per
-        # task at multi-M-doc corpora.  Partitioning on the full group
-        # key elides the aggregation's own exchange.
-        par = int(spark.sparkContext.defaultParallelism)
-        agg_parts = max(
-            4 * n_salts,
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            min(
-                -(-int(meta.get("total_len", 1) or 1) // 150_000),
-                64 * par,
-            ),
-        )
-        rows = rows.repartition(agg_parts, "term_id", "salt")
+        # NO explicit repartition here: the pack aggregation's own
+        # ENSURE_REQUIREMENTS exchange places partial_collect_list
+        # BELOW the shuffle (one stage with the liveness join) and AQE
+        # sizes the reduce side.  Measured A/B at 6.4M docs, fresh
+        # JVMs, interleaved: an explicit fine-grained
+        # repartition(total/150k) was 1.7x SLOWER (raw rows shuffled,
+        # both agg halves above the exchange, 10x the task count).
         # idf_df: the re-pack recomputes the TRUE per-block max_score
         # under current corpus stats, so the tight WAND bounds stay
         # valid after compaction (generation returns to 0, which is
