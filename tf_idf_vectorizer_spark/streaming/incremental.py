@@ -742,12 +742,48 @@ class IncrementalIndex:
         spark = self.spark
         meta = self._meta()
         idx = PackedIndex(spark, self.dir, self.config)
-        decoded = idx.decode_postings(None)
-        live = decoded.join(
-            idx.doc_dict.select("doc_id", "gen", "doc_len"), ["doc_id", "gen"]
-        )
         salt_range = meta["salt_range"]
         n_salts = int(meta.get("n_salts", 8))
+        # liveness: when the doc stats fit the driver pin budget
+        # (PackedIndex._doc_stats_np — the same gate the serving tier
+        # uses), the (doc_id -> gen, doc_len) check runs as a broadcast
+        # numpy filter INSIDE the decode pass: no (doc_id, gen) shuffle
+        # + sort of every decoded posting row for the sort-merge join.
+        # Past the budget, the distributed join is the scale path.
+        ds = idx._doc_stats_np()
+        if ds is not None:
+            import pandas as _pd
+
+            ids_s, dls_s, gens_s = ds
+            bc = spark.sparkContext.broadcast(
+                (ids_s, dls_s.astype(np.int64), gens_s)
+            )
+
+            def _decode_live(batches):
+                ids_v, dls_v, gens_v = bc.value
+                for out in _decode_blocks_iter(batches):
+                    d = out["doc_id"].to_numpy()
+                    pos = np.searchsorted(ids_v, d)
+                    posc = np.minimum(pos, ids_v.size - 1)
+                    ok = (
+                        (pos < ids_v.size)
+                        & (ids_v[posc] == d)
+                        & (gens_v[posc] == out["gen"].to_numpy())
+                    )
+                    kept = out[ok]
+                    kept = kept.assign(doc_len=dls_v[posc[ok]])
+                    yield kept
+
+            live = (
+                idx._postings()
+                .select("term_id", "n", "doc_deltas", "tfs", "gen")
+                .mapInPandas(_decode_live, schema=_DECODED + ", doc_len long")
+            )
+        else:
+            live = idx.decode_postings(None).join(
+                idx.doc_dict.select("doc_id", "gen", "doc_len"),
+                ["doc_id", "gen"],
+            )
         rows = live.select(
             "term_id",
             (F.col("doc_id") / F.lit(salt_range)).cast("int").alias("salt"),
