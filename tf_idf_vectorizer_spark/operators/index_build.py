@@ -442,31 +442,20 @@ def build_index(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # one pass over the input for both scalars
-    doc_num, max_id = docs.agg(F.count("*"), F.max(key_col)).first()
-    max_id = int(max_id) if max_id is not None else 0
-    _mark("input_scalars")
-    # build-scoped shuffle width: the session's shuffle.partitions is a
-    # QUERY-sized knob; the build's stats/pack aggregations over ~100
-    # posting rows per doc thrash on fat partitions at executor-sized
-    # memory (measured 3-5x on 4x4-core executors when the default left
-    # ~500k rows per task).  Target ~150k rows/partition, capped at
-    # 64x the cluster, floored at the session value; restored after.
+    # build-scoped shuffle width (set after the scalar pass below): the
+    # session's shuffle.partitions is a QUERY-sized knob; the build's
+    # stats/pack aggregations over ~100 posting rows per doc thrash on
+    # fat partitions at executor-sized memory (measured 3-5x on 4x4-core
+    # executors when the default left ~500k rows per task).  Target
+    # ~150k rows/partition, capped at 64x the cluster, floored at the
+    # session value; restored after.
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_prev = spark.conf.get(_sp_key)
-    build_parts = max(
-        int(_sp_prev),
-        min(
-            int(doc_num) * 100 // 150_000,
-            64 * int(spark.sparkContext.defaultParallelism),
-        ),
-    )
-    spark.conf.set(_sp_key, str(build_parts))
     try:
         return _build_index_body(
             spark, docs, out_dir, key_col, text_col, url_col, config,
             precision, resume, check_collisions, norms, cache_tf,
-            tokenizer, t0, phases, _mark, doc_num, max_id,
+            tokenizer, t0, phases, _mark, _sp_prev,
         )
     finally:
         spark.conf.set(_sp_key, _sp_prev)
@@ -475,28 +464,37 @@ def build_index(
 def _build_index_body(
     spark, docs, out_dir, key_col, text_col, url_col, config, precision,
     resume, check_collisions, norms, cache_tf, tokenizer, t0, phases,
-    _mark, doc_num, max_id,
+    _mark, _sp_prev,
 ):
     from tf_idf_vectorizer_spark.functions.tokenizers import (
         doc_len_expr,
         tokens_expr,
     )
 
-    # ---- narrow doc-length pass (FIRST: it feeds the salting) ----------
+    # ---- narrow scalar + doc-length pass (FIRST: it feeds the salting
+    # AND the build-scoped shuffle width) -------------------------------
     # doc_len is re-derivable from the text alone (token count = sum(tf)
-    # by construction): ONE narrow projection over the corpus — no
-    # tokenize->explode->groupBy shuffle of every posting row, no
-    # docs-side join (guide §2.4).  Zero-token and null-text docs land
-    # here with doc_len 0 — they count in doc_num/avg_len and in the
-    # boolean universe ((all) / (not ...)), like ExactSearcher.all_docs.
+    # by construction): ONE narrow projection over the corpus computes
+    # doc count, max doc id, total and max doc length together — no
+    # separate input-scalars job, no tokenize->explode->groupBy shuffle
+    # of every posting row, no docs-side join (guide §2.4).  Zero-token
+    # and null-text docs land here with doc_len 0 — they count in
+    # doc_num/avg_len and in the boolean universe ((all) / (not ...)),
+    # like ExactSearcher.all_docs.
     dl_col = doc_len_expr(tokenizer, F.col(text_col))
+    scalar_aggs = [
+        F.count("*"),
+        F.max("doc_id"),
+        F.sum("doc_len"),
+        F.max("doc_len"),
+    ]
     if norms:
         # the norms doc_dict needs tf+idf and is built further down;
-        # only the corpus-length scalars are needed here
+        # only the corpus scalars are needed here
         dstats = None
-        total_len, max_dl_global = docs.select(
-            dl_col.alias("doc_len")
-        ).agg(F.sum("doc_len"), F.max("doc_len")).first()
+        doc_num, max_id, total_len, max_dl_global = docs.select(
+            F.col(key_col).alias("doc_id"), dl_col.alias("doc_len")
+        ).agg(*scalar_aggs).first()
     else:
         dstats = docs.select(
             F.col(key_col).alias("doc_id"),
@@ -505,12 +503,24 @@ def _build_index_body(
             F.lit(0.0).alias("norm"),
         ).cache()
         doc_dict = dstats.withColumn("gen", F.lit(0))
-        total_len, max_dl_global = dstats.agg(
-            F.sum("doc_len"), F.max("doc_len")
+        doc_num, max_id, total_len, max_dl_global = dstats.agg(
+            *scalar_aggs
         ).first()
+    doc_num = int(doc_num or 0)
+    max_id = int(max_id) if max_id is not None else 0
     total_len = int(total_len or 0)
     max_dl_global = int(max_dl_global or 0)
     _mark("doc_stats")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(
+            int(_sp_prev),
+            min(
+                doc_num * 100 // 150_000,
+                64 * int(spark.sparkContext.defaultParallelism),
+            ),
+        )),
+    )
 
     # salting auto-scales so no (term_id, salt) group exceeds
     # ~salt_target_rows posting entries (a stop-word's salt-local run
