@@ -78,88 +78,134 @@ POSTINGS_FILE_SCHEMA = BLOCK_SCHEMA + ", bucket int, gen int"
 # dropped by the scoring join and reclaimed at compaction)
 
 
-def _pack_group(
-    term_ids: np.ndarray,
-    salts: np.ndarray,
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
+def make_live_repacker(
+    bc,
     block_size: int,
-) -> pd.DataFrame:
-    """Pack sorted (term_id, salt, doc_id) rows into posting blocks.
+    term_buckets: int,
+    k1: float,
+    b: float,
+    avg_len: float,
+    salt_range: int,
+):
+    """mapInPandas body for the budget-gated compact fast path (guide
+    §8: every shuffle but the last moves a lightweight proxy — here the
+    COMPRESSED block payloads cross the one exchange, never the decoded
+    posting rows).  Per partition, fully vectorized numpy: decode every
+    block, drop rows whose (doc_id, gen) misses the broadcast doc stats,
+    re-sort by (term_id, salt, doc_id), re-slice into ``block_size``
+    blocks and re-encode — emitting gen-0 rows in POSTINGS_FILE_SCHEMA,
+    byte- and bit-identical to ``pack_blocks_jvm`` over the same live
+    rows (pinned by tests/test_compact_repack.py: identical output
+    files, including ``max_score``, whose per-pair arithmetic below
+    replicates the JVM expression operation-for-operation and whose
+    ln(idf) values are COLLECTED from a JVM ``F.log`` projection rather
+    than recomputed with numpy's differently-rounded log).
 
-    Fully vectorized: group/block boundaries, per-block aggregates
-    (ufunc.reduceat) and the varint streams are all computed in whole-
-    batch numpy passes; the only Python loop slices the encoded buffer
-    into per-block bytes.
-    """
-    n = len(term_ids)
-    # group boundaries on (term_id, salt) — input sorted by both
-    change = np.flatnonzero((np.diff(term_ids) != 0) | (np.diff(salts) != 0))
-    g_starts = np.concatenate(([0], change + 1))
-    g_sizes = np.diff(np.append(g_starts, n))
-    group_of = np.repeat(np.arange(len(g_starts)), g_sizes)
-    off_in_group = np.arange(n, dtype=np.int64) - g_starts[group_of]
-    is_bstart = (off_in_group % block_size) == 0
-    b_starts = np.flatnonzero(is_bstart)
-    b_ends = np.append(b_starts[1:], n)
+    ``bc`` broadcasts (sorted doc_ids, doc_lens int64, gens,
+    sorted ln_idf term_ids, ln_idf values)."""
+    kp1 = k1 + 1.0
+    one_minus_b = 1.0 - b
 
-    deltas = doc_ids.copy()
-    deltas[1:] -= doc_ids[:-1]
-    deltas[b_starts] = doc_ids[b_starts]
+    def repack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_v, dls_v, gens_v, ln_tids, ln_vals = bc.value
+        parts = [p for p in batches if len(p)]
+        if not parts or ids_v.size == 0:  # no committed docs -> no live rows
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        from tf_idf_vectorizer_spark.operators.codec import decode_varint
 
-    return pd.DataFrame(
-        {
-            "term_id": term_ids[b_starts],
-            "salt": salts[b_starts].astype(np.int32),
-            "block_seq": (off_in_group[b_starts] // block_size).astype(np.int32),
-            "n": (b_ends - b_starts).astype(np.int32),
-            "min_doc": doc_ids[b_starts].astype(np.int64),
-            "max_doc": doc_ids[b_ends - 1].astype(np.int64),
-            "max_tf": np.maximum.reduceat(tfs, b_starts).astype(np.int64),
-            "min_dl": np.minimum.reduceat(dls, b_starts).astype(np.int64),
-            "doc_deltas": encode_varint_blocks(deltas, b_starts),
-            "tfs": encode_varint_blocks(tfs, b_starts),
-        }
-    )
+        n = pdf["n"].to_numpy(np.int64)
+        deltas = decode_varint(
+            b"".join(bytes(x) for x in pdf["doc_deltas"])
+        ).astype(np.int64)
+        tf = decode_varint(
+            b"".join(bytes(x) for x in pdf["tfs"])
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        total = np.cumsum(deltas)
+        corr = np.zeros(len(n), dtype=np.int64)
+        corr[1:] = total[starts[1:] - 1]
+        docs = total - np.repeat(corr, n)
+        tids = np.repeat(pdf["term_id"].to_numpy(np.int64), n)
+        gens = np.repeat(pdf["gen"].to_numpy(np.int64), n)
+        # liveness: (doc_id, gen) must match the committed doc_dict row
+        pos = np.searchsorted(ids_v, docs)
+        posc = np.minimum(pos, max(ids_v.size - 1, 0))
+        ok = (
+            (pos < ids_v.size)
+            & (ids_v[posc] == docs)
+            & (gens_v[posc] == gens)
+        )
+        if not ok.any():
+            return
+        docs = docs[ok]
+        tf = tf[ok]
+        tids = tids[ok]
+        dls = dls_v[posc[ok]]
+        order = np.lexsort((docs, tids))
+        docs = docs[order]
+        tf = tf[order]
+        tids = tids[order]
+        dls = dls[order]
+        m = docs.size
+        # salt recomputed from doc_id, not read from the block row (an
+        # all-empty corpus has ZERO posting files, so the salt partition
+        # column may not exist) — float64 division + truncating cast,
+        # the exact JVM `(doc_id / salt_range).cast("int")` semantics.
+        # salt is monotonic in doc_id, so sorting by (term_id, doc_id)
+        # already groups (term_id, salt) runs contiguously.
+        salts = (docs.astype(np.float64) / salt_range).astype(np.int64)
+        # group boundaries on (term_id, salt); blocks slice each group
+        change = np.flatnonzero((np.diff(tids) != 0) | (np.diff(salts) != 0))
+        g_starts = np.concatenate(([0], change + 1))
+        g_sizes = np.diff(np.append(g_starts, m))
+        group_of = np.repeat(np.arange(g_starts.size), g_sizes)
+        off = np.arange(m, dtype=np.int64) - g_starts[group_of]
+        b_starts = np.flatnonzero(off % block_size == 0)
+        b_ends = np.append(b_starts[1:], m)
+        dd = docs.copy()
+        dd[1:] -= docs[:-1]
+        dd[b_starts] = docs[b_starts]
+        # per-pair BM25 impact — SAME expression, SAME operation order
+        # as pack_blocks_jvm's _pair_impact (IEEE doubles: +,*,/ are
+        # correctly rounded, so identical op order => identical bits)
+        tfd = tf.astype(np.float64)
+        denom = tfd + k1 * (
+            one_minus_b + (b * dls.astype(np.float64)) / avg_len
+        )
+        imp = tfd * kp1 / denom
+        best = np.maximum.reduceat(imp, b_starts)
+        bt = tids[b_starts]
+        if ln_tids.size:
+            lp = np.searchsorted(ln_tids, bt)
+            lpc = np.minimum(lp, ln_tids.size - 1)
+            has = (lp < ln_tids.size) & (ln_tids[lpc] == bt)
+            ln = np.where(has, ln_vals[lpc], np.nan)
+        else:
+            ln = np.full(bt.size, np.nan)
+        # when(ln_idf > 0, ln_idf * best).otherwise(0.0); a missing term
+        # (NaN here, null in the JVM) lands in the 0.0 branch both ways
+        max_score = np.where(ln > 0, ln * best, 0.0)
+        yield pd.DataFrame(
+            {
+                "term_id": bt,
+                "salt": salts[b_starts].astype(np.int32),
+                "block_seq": (off[b_starts] // block_size).astype(np.int32),
+                "n": (b_ends - b_starts).astype(np.int32),
+                "min_doc": docs[b_starts],
+                "max_doc": docs[b_ends - 1],
+                "max_tf": np.maximum.reduceat(tf, b_starts),
+                "min_dl": np.minimum.reduceat(dls, b_starts),
+                "max_dl": np.maximum.reduceat(dls, b_starts),
+                "max_score": max_score,
+                "doc_deltas": encode_varint_blocks(dd, b_starts),
+                "tfs": encode_varint_blocks(tf, b_starts),
+                "bucket": (bt % term_buckets).astype(np.int32),
+                "gen": np.zeros(bt.size, dtype=np.int32),
+            }
+        )
 
-
-def _make_packer(block_size: int):
-    def pack_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Streaming packer: groups may span Arrow batches, so carry the
-        trailing (term_id, salt) group to the next batch."""
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                carry = None
-                continue
-            last_tid = pdf["term_id"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            is_last = (pdf["term_id"] == last_tid) & (pdf["salt"] == last_salt)
-            carry = pdf[is_last]
-            done = pdf[~is_last]
-            if len(done):
-                yield _pack_group(
-                    done["term_id"].to_numpy(),
-                    done["salt"].to_numpy(),
-                    done["doc_id"].to_numpy(np.uint64),
-                    done["tf"].to_numpy(np.uint64),
-                    done["doc_len"].to_numpy(np.uint64),
-                    block_size,
-                )
-        if carry is not None and len(carry):
-            yield _pack_group(
-                carry["term_id"].to_numpy(),
-                carry["salt"].to_numpy(),
-                carry["doc_id"].to_numpy(np.uint64),
-                carry["tf"].to_numpy(np.uint64),
-                carry["doc_len"].to_numpy(np.uint64),
-                block_size,
-            )
-
-    return pack_blocks
+    return repack
 
 
 def varint_width(bound: int | None) -> int:

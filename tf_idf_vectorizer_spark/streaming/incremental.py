@@ -85,6 +85,7 @@ from tf_idf_vectorizer_spark.config import DEFAULT, EngineConfig, with_effective
 from tf_idf_vectorizer_spark.ioutil import recover_dir, write_json_atomic
 from tf_idf_vectorizer_spark.operators.index_build import (
     POSTINGS_FILE_SCHEMA,
+    make_live_repacker,
     pack_blocks_jvm,
     write_term_dict,
 )
@@ -744,6 +745,11 @@ class IncrementalIndex:
         idx = PackedIndex(spark, self.dir, self.config)
         salt_range = meta["salt_range"]
         n_salts = int(meta.get("n_salts", 8))
+        avg_len = float(meta.get("total_len", 0)) / max(
+            int(meta.get("doc_num", 1)), 1
+        )
+        k1 = float(meta.get("k1", self.config.k1))
+        b = float(meta.get("b", self.config.b))
         # liveness: when the doc stats fit the driver pin budget
         # (PackedIndex._doc_stats_np — the same gate the serving tier
         # uses), the (doc_id -> gen, doc_len) check runs as a broadcast
@@ -751,6 +757,72 @@ class IncrementalIndex:
         # + sort of every decoded posting row for the sort-merge join.
         # Past the budget, the distributed join is the scale path.
         ds = idx._doc_stats_np()
+        # fastest tier: when the TERM dictionary also fits its pin
+        # budget (_can_pin_dict — the serving tier's gate), the whole
+        # decode -> liveness -> re-sort -> re-encode loop runs inside
+        # ONE mapInPandas over the COMPRESSED blocks (guide §8: the
+        # payload bytes cross one exchange; the decoded posting rows
+        # never shuffle and the collect_list re-pack disappears).
+        # Output is bit-identical to the pack_blocks_jvm tiers below —
+        # pinned by tests/test_compact_repack.py — because the varint
+        # codec is canonical and the max_score arithmetic replicates
+        # the JVM expression op-for-op (ln(idf) values are collected
+        # from a JVM F.log projection, not recomputed in numpy).
+        if ds is not None and idx._can_pin_dict():
+            tdf = idx._topandas_arrow(
+                idx.term_dict.select(
+                    "term_id",
+                    F.log(F.col("idf").cast("double")).alias("ln_idf"),
+                )
+            )
+            t_ids = tdf["term_id"].to_numpy(np.int64)
+            t_ord = np.argsort(t_ids, kind="stable")
+            ids_s, dls_s, gens_s = ds
+            bc = spark.sparkContext.broadcast(
+                (
+                    ids_s,
+                    dls_s.astype(np.int64),
+                    gens_s,
+                    t_ids[t_ord],
+                    tdf["ln_idf"].to_numpy(np.float64)[t_ord],
+                )
+            )
+            # salt via min_doc (any block doc gives the block's salt):
+            # an all-empty corpus has zero posting files, so the salt
+            # PARTITION column may not exist on this relation
+            blocks = idx._postings().select(
+                "term_id", "min_doc", "n", "gen", "doc_deltas", "tfs"
+            )
+            # partition count from corpus size (total tokens >= posting
+            # entries), same ~150k-rows-per-task target and 64x cap as
+            # the build's agg width — never the session shuffle knob
+            par = int(spark.sparkContext.defaultParallelism)
+            n_parts = max(
+                par,
+                min(
+                    -(-int(meta.get("total_len", 0)) // 150_000),
+                    64 * par,
+                ),
+            )
+            salt_key = (
+                F.col("min_doc") / F.lit(int(salt_range))
+            ).cast("int")
+            packed = blocks.repartition(
+                n_parts, F.col("term_id"), salt_key
+            ).mapInPandas(
+                make_live_repacker(
+                    bc,
+                    self.config.block_size,
+                    int(meta["term_buckets"]),
+                    k1=k1,
+                    b=b,
+                    avg_len=avg_len,
+                    salt_range=int(salt_range),
+                ),
+                schema=POSTINGS_FILE_SCHEMA,
+            )
+            self._write_compacted(spark, idx, meta, packed, n_salts)
+            return
         if ds is not None:
             import pandas as _pd
 
@@ -803,9 +875,6 @@ class IncrementalIndex:
         # valid after compaction (generation returns to 0, which is
         # exactly when _tight_bounds_ok trusts them — a 0.0 max_score
         # here would zero every block bound and prune the whole index)
-        avg_len = float(meta.get("total_len", 0)) / max(
-            int(meta.get("doc_num", 1)), 1
-        )
         # delta unroll bound: one metadata-only agg over doc_dict (tf
         # needs no bound — stored tf is int32, 5 bytes always cover it)
         max_doc_id = int(
@@ -813,11 +882,22 @@ class IncrementalIndex:
         )
         packed = pack_blocks_jvm(
             rows, self.config.block_size, meta["term_buckets"], gen=0,
-            avg_len=avg_len, k1=float(meta.get("k1", self.config.k1)),
-            b=float(meta.get("b", self.config.b)),
+            avg_len=avg_len, k1=k1, b=b,
             idf_df=idx.term_dict.select("term_id", "idf"),
             max_doc_bound=max_doc_id,
         )
+        self._write_compacted(spark, idx, meta, packed, n_salts)
+
+    def _write_compacted(
+        self,
+        spark: SparkSession,
+        idx: PackedIndex,
+        meta: dict,
+        packed: DataFrame,
+        n_salts: int,
+    ) -> None:
+        """Shared compact tail: write the gen-0 re-pack + gen-reset
+        doc_dict to fresh versioned dirs and commit both atomically."""
         # versioned commit covers postings too: the gen-0 re-pack and the
         # doc_dict gen reset MUST flip together (a crash between them
         # would otherwise leave a liveness join that matches nothing)
