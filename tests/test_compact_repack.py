@@ -124,6 +124,31 @@ def test_compact_fast_path_bit_identical_to_jvm_tiers(
         assert meta_f["total_len"] == m["total_len"]
         assert meta_f.get("tight_bounds") is True
 
+    # strongest form: the WRITTEN postings files are byte-identical
+    # (same partition dirs, sizes and md5 — footer metadata included;
+    # the fast path declares the JVM pack's exact nullability so even
+    # the parquet definition levels match)
+    import glob
+    import hashlib
+    import os
+
+    def _file_digests(idx_dir, meta):
+        root = f"{idx_dir}/{meta['tables']['postings']}"
+        out = {}
+        for f in glob.glob(f"{root}/**/*.parquet", recursive=True):
+            rel = os.path.relpath(f, root)
+            key = (os.path.dirname(rel), os.path.basename(rel).split("-")[1])
+            with open(f, "rb") as fh:
+                out[key] = (
+                    os.path.getsize(f),
+                    hashlib.md5(fh.read()).hexdigest(),
+                )
+        return out
+
+    dig_f = _file_digests(dirs["fast"], meta_f)
+    dig_b = _file_digests(dirs["broadcast"], meta_b)
+    assert dig_f and dig_f == dig_b
+
     # and queries over the fast-path compacted index are unchanged
     idx1 = PackedIndex(spark, dirs["fast"], CFG)
     after = [

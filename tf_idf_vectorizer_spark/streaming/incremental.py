@@ -807,6 +807,15 @@ class IncrementalIndex:
             salt_key = (
                 F.col("min_doc") / F.lit(int(salt_range))
             ).cast("int")
+            # declare the same nullability the JVM pack derives
+            # (posexplode pos / size() / lit are non-null), so the
+            # written files are BYTE-identical, footer included
+            from pyspark.sql.types import StructType
+
+            out_schema = StructType.fromDDL(POSTINGS_FILE_SCHEMA)
+            for f_ in out_schema.fields:
+                if f_.name in ("block_seq", "n", "gen"):
+                    f_.nullable = False
             packed = blocks.repartition(
                 n_parts, F.col("term_id"), salt_key
             ).mapInPandas(
@@ -819,7 +828,7 @@ class IncrementalIndex:
                     avg_len=avg_len,
                     salt_range=int(salt_range),
                 ),
-                schema=POSTINGS_FILE_SCHEMA,
+                schema=out_schema,
             )
             self._write_compacted(spark, idx, meta, packed, n_salts)
             return
